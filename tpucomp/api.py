@@ -1,0 +1,197 @@
+"""Public one-shot and streaming API.
+
+Mirrors the reference's capability surface (SURVEY.md §2 row 1; reference
+``include/mscomp.h``: ``ms_compress`` / ``ms_decompress`` /
+``ms_max_compressed_size`` and the zlib-style ``ms_deflate*`` /
+``ms_inflate*`` stream calls — mount unavailable, recalled surface), with
+the status taxonomy expressed as typed exceptions (:mod:`tpucomp.errors`).
+
+Backends (select with ``backend=``):
+
+* ``"oracle"`` — spec-exact CPU ground truth (always available).
+* ``"cpu"``    — native C fast path (when the extension is built).
+* ``"tpu"``    — JAX/Pallas batched device pipelines.
+* ``"auto"``   — best available: cpu → oracle for one-shot bytes;
+  use :mod:`tpucomp.dist` for device-batched work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from . import formats
+from .errors import ArgError
+from .formats import Format
+
+_BACKEND_PREFERENCE = ("cpu", "oracle")
+
+
+def _resolve_backend(entry: formats.CodecEntry, backend: str) -> str:
+    if backend != "auto":
+        return backend
+    for b in _BACKEND_PREFERENCE:
+        if b in entry.backends:
+            return b
+    return next(iter(entry.backends))
+
+
+def compress(fmt, data: bytes, *, backend: str = "auto", **opts) -> bytes:
+    """One-shot compress (reference: ``ms_compress``)."""
+    if data is None:
+        raise ArgError("data must be bytes-like")
+    entry = formats.lookup(fmt)
+    comp, _ = entry.get(_resolve_backend(entry, backend))
+    return comp(bytes(data), **opts)
+
+
+def decompress(
+    fmt, data: bytes, out_len: Optional[int] = None, *, backend: str = "auto", **opts
+) -> bytes:
+    """One-shot decompress (reference: ``ms_decompress``).
+
+    ``out_len`` is required for the Xpress formats (no size header in the
+    stream); LZNT1 is self-terminating and may omit it.
+    """
+    if data is None:
+        raise ArgError("data must be bytes-like")
+    entry = formats.lookup(fmt)
+    _, decomp = entry.get(_resolve_backend(entry, backend))
+    return decomp(bytes(data), out_len, **opts)
+
+
+def max_compressed_size(fmt, n: int) -> int:
+    """Worst-case compressed size bound (reference: ``ms_max_compressed_size``)."""
+    if n < 0:
+        raise ArgError("n must be non-negative")
+    entry = formats.lookup(fmt)
+    if entry.max_compressed_size is None:
+        raise ArgError(f"format {entry.fmt.name} has no size bound")
+    return entry.max_compressed_size(n)
+
+
+class Compressor:
+    """Streaming compressor (reference: ``ms_deflate_init/ms_deflate/...``).
+
+    Host-driven incremental feed (SURVEY.md §2 row 11): input is buffered to
+    the format's natural unit (LZNT1: 4 KiB chunk; Xpress-Huff: 64 KiB
+    block; plain Xpress: configurable segment) and each complete unit is
+    compressed independently.  ``flush()`` compresses any partial tail.
+
+    Note: unit-at-a-time streaming means matches never cross fed-unit
+    boundaries for Xpress formats (valid streams, marginally larger than
+    one-shot compression of the same data — LZNT1 is unit-local by design).
+    For plain Xpress this streaming mode is *self-delimiting per segment
+    only*; decompression of the concatenated stream must use a Decompressor
+    fed with the same segment size.
+    """
+
+    _UNIT = {
+        Format.LZNT1: 4096,
+        Format.XPRESS: 65536,
+        Format.XPRESS_HUFF: 65536,
+    }
+
+    def __init__(self, fmt, *, backend: str = "auto", unit_size: Optional[int] = None):
+        self.fmt = formats.canonical(fmt)
+        entry = formats.lookup(self.fmt)
+        self._compress, _ = entry.get(_resolve_backend(entry, backend))
+        self.unit_size = unit_size or self._UNIT[self.fmt]
+        if self.fmt == Format.LZNT1 and self.unit_size % 4096 != 0:
+            raise ArgError("LZNT1 streaming unit must be a multiple of 4096")
+        if self.fmt == Format.XPRESS_HUFF and self.unit_size % 65536 != 0:
+            raise ArgError("XPRESS_HUFF streaming unit must be a multiple of 64 KiB")
+        self._buf = bytearray()
+        self._finished = False
+        self.total_in = 0
+        self.total_out = 0
+
+    def compress(self, data: bytes) -> bytes:
+        if self._finished:
+            raise ArgError("compressor already flushed")
+        self._buf += bytes(data)
+        self.total_in += len(data)
+        out = bytearray()
+        while len(self._buf) >= self.unit_size:
+            unit = bytes(self._buf[: self.unit_size])
+            del self._buf[: self.unit_size]
+            out += self._compress(unit)
+        self.total_out += len(out)
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        if self._finished:
+            return b""
+        self._finished = True
+        out = b""
+        if self._buf:
+            out = self._compress(bytes(self._buf))
+            self._buf.clear()
+        self.total_out += len(out)
+        return out
+
+
+class Decompressor:
+    """Streaming decompressor (reference: ``ms_inflate_init/ms_inflate/...``).
+
+    For LZNT1 the stream is self-delimiting at chunk granularity: feed
+    arbitrary byte slices; complete chunks are emitted as they arrive.  For
+    the Xpress formats the caller must supply ``unit_out_lens`` — the
+    uncompressed length of each streamed unit (mirroring the reference,
+    where the caller always knows the uncompressed size).
+    """
+
+    def __init__(self, fmt, *, backend: str = "auto", unit_out_lens=None):
+        self.fmt = formats.canonical(fmt)
+        entry = formats.lookup(self.fmt)
+        _, self._decompress = entry.get(_resolve_backend(entry, backend))
+        self._buf = bytearray()
+        self.total_in = 0
+        self.total_out = 0
+        if self.fmt != Format.LZNT1 and unit_out_lens is None:
+            raise ArgError(
+                f"{self.fmt.name} streaming decompression requires unit_out_lens"
+            )
+        self._unit_out_lens = list(unit_out_lens or [])
+
+    def decompress(self, data: bytes) -> bytes:
+        self._buf += bytes(data)
+        self.total_in += len(data)
+        out = bytearray()
+        if self.fmt == Format.LZNT1:
+            # Emit every complete chunk currently buffered.
+            while len(self._buf) >= 2:
+                header = self._buf[0] | (self._buf[1] << 8)
+                if header == 0:
+                    self._buf.clear()
+                    break
+                size = (header & 0xFFF) + 1
+                if len(self._buf) < 2 + size:
+                    break
+                chunk = bytes(self._buf[: 2 + size])
+                del self._buf[: 2 + size]
+                out += self._decompress(chunk, None)
+        else:
+            raise ArgError(
+                "Xpress streaming decode requires unit-delimited feed; "
+                "use decompress_unit()"
+            )
+        self.total_out += len(out)
+        return bytes(out)
+
+    def decompress_unit(self, unit: bytes) -> bytes:
+        """Decode one complete compressed unit (Xpress formats)."""
+        if not self._unit_out_lens:
+            raise ArgError("no unit_out_lens remaining")
+        out_len = self._unit_out_lens.pop(0)
+        out = self._decompress(bytes(unit), out_len)
+        self.total_in += len(unit)
+        self.total_out += len(out)
+        return out
+
+    def flush(self) -> bytes:
+        if self.fmt == Format.LZNT1 and self._buf:
+            out = self._decompress(bytes(self._buf), None)
+            self._buf.clear()
+            self.total_out += len(out)
+            return out
+        return b""
