@@ -50,3 +50,17 @@ try:
     _native.register_all()
 except Exception:  # extension not built — oracle remains the CPU path
     pass
+
+# TPU (JAX) batched pipelines.  Guard: JAX import is heavy and some
+# consumers only want the CPU paths.
+import os as _os
+
+if not _os.environ.get("TPUCOMP_NO_JAX"):
+    from .codecs import lznt1 as _t_lznt1
+
+    register(
+        Format.LZNT1,
+        "tpu",
+        _t_lznt1.compress,
+        _t_lznt1.decompress,
+    )

@@ -1,0 +1,34 @@
+"""Small host/device helpers shared by the TPU codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bytes_to_rows(data: bytes, row_len: int, pad: int = 0) -> np.ndarray:
+    """Split bytes into a [n_rows, row_len] int32 array, zero-padded."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_rows = max(1, -(-len(arr) // row_len)) if len(arr) else 0
+    out = np.zeros((n_rows, row_len), dtype=np.int32)
+    if pad:
+        out = np.zeros((n_rows, row_len + pad), dtype=np.int32)
+    if len(arr):
+        flat = out[:, :row_len].reshape(-1)
+        flat[: len(arr)] = arr
+    return out
+
+
+def pad_rows(rows, row_len: int) -> np.ndarray:
+    """Stack variable-length byte strings into [n, row_len] int32 (zero pad)."""
+    out = np.zeros((len(rows), row_len), dtype=np.int32)
+    for i, r in enumerate(rows):
+        a = np.frombuffer(r, dtype=np.uint8)
+        out[i, : len(a)] = a
+    return out
+
+
+def rows_to_bytes(arr: np.ndarray, lengths) -> bytes:
+    """Concatenate the first lengths[i] bytes of each row."""
+    arr = np.asarray(arr)
+    parts = [arr[i, : int(l)].astype(np.uint8).tobytes() for i, l in enumerate(lengths)]
+    return b"".join(parts)
