@@ -7,12 +7,18 @@ deterministic.  bench.py does NOT import this and runs on the real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize (axon TPU plugin) imports jax at
+# interpreter startup with JAX_PLATFORMS=axon, so the env var is already
+# baked — override through jax.config instead (before any backend init).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

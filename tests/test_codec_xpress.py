@@ -1,0 +1,99 @@
+"""TPU Xpress codec vs oracle: cross-decode/encode bit-compatibility.
+
+Uses a small unit size (4 KiB) so the CPU-simulated scans stay quick;
+the device code is unit-size-agnostic (jitted per size).
+"""
+
+import pytest
+
+from tpucomp.codecs import xpress as t_xpress
+from tpucomp.oracle import xpress as o_xpress
+
+U = 4096
+
+
+def units_of(data, u=U):
+    return [data[i : i + u] for i in range(0, len(data), u)] or [b""]
+
+
+class TestEncodeValidity:
+    """Oracle must decode TPU unit streams byte-exactly."""
+
+    def test_oracle_decodes_tpu_units(self, corpus, rng):
+        cases = [
+            b"",
+            b"x",
+            b"abc" * 500,
+            b"a" * 4096,
+            bytes(range(256)) * 16,
+            corpus(4096),
+            corpus(4000),
+            bytes(rng.randrange(256) for _ in range(4096)),
+            b"\x00" * 4096,
+        ]
+        streams = t_xpress.compress_units(cases, unit_size=U)
+        for data, s in zip(cases, streams):
+            if data:
+                assert o_xpress.decompress(s, len(data)) == data, len(data)
+
+    def test_escape_chain_boundaries(self):
+        # lengths crossing every escape boundary: 9/10 (nibble), 24/25
+        # (nibble 15 + byte), 279/280 (u16)
+        cases = []
+        for run in [6, 7, 9, 10, 24, 25, 279, 280, 300, 3000]:
+            cases.append(b"Q" + b"R" * run + b"#!")
+        streams = t_xpress.compress_units(cases, unit_size=U)
+        for data, s in zip(cases, streams):
+            assert o_xpress.decompress(s, len(data)) == data, len(data)
+
+    def test_shared_nibble_pairing(self):
+        # multiple escape-length matches share nibble bytes pairwise
+        data = b"".join(bytes([65 + i]) * 15 for i in range(20))
+        [s] = t_xpress.compress_units([data], unit_size=U)
+        assert o_xpress.decompress(s, len(data)) == data
+
+    def test_sizes_within_bound(self, rng):
+        data = bytes(rng.randrange(256) for _ in range(4096))
+        [s] = t_xpress.compress_units([data], unit_size=U)
+        assert len(s) <= t_xpress.max_compressed_size(len(data))
+
+
+class TestDecodeBitCompat:
+    """TPU decode must accept any oracle (reference-semantics) stream."""
+
+    def test_decode_oracle_streams(self, corpus, rng):
+        cases = [
+            b"z",
+            b"abc" * 500,
+            b"a" * 4096,
+            corpus(4096),
+            corpus(1000),
+            bytes(rng.randrange(256) for _ in range(4096)),
+            b"ab" * 2048,
+        ]
+        streams = [o_xpress.compress(d) for d in cases]
+        out = t_xpress.decompress_units(
+            streams, [len(d) for d in cases], unit_size=U
+        )
+        for data, o in zip(cases, out):
+            assert o == data, len(data)
+
+    def test_decode_escape_chain(self):
+        cases = [b"Q" + b"R" * run for run in [7, 10, 25, 280, 3000, 4000]]
+        streams = [o_xpress.compress(d) for d in cases]
+        out = t_xpress.decompress_units(
+            streams, [len(d) for d in cases], unit_size=U
+        )
+        for data, o in zip(cases, out):
+            assert o == data, len(data)
+
+    def test_self_roundtrip(self, corpus):
+        data = corpus(40000)
+        us = units_of(data)
+        streams = t_xpress.compress_units(us, unit_size=U)
+        out = t_xpress.decompress_units(streams, [len(u) for u in us], unit_size=U)
+        assert b"".join(out) == data
+
+    def test_malformed_raises(self):
+        with pytest.raises(Exception):
+            t_xpress.decompress_units([b"\x00\x00"], [100], unit_size=U)

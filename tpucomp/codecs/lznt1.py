@@ -4,32 +4,37 @@ Capability parity: reference ``src/lznt1_compress.cpp`` /
 ``src/lznt1_decompress.cpp`` + ``LZNT1Dictionary.h`` (SURVEY.md §2 rows 3,
 7; mount unavailable — format per [MS-XCA] §2.5, SURVEY.md §8.1).
 
-TPU-first design — this is NOT a translation of the reference's sequential
-byte loops (SURVEY.md §7 "hard parts"):
+TPU-first design.  Measured cost model on TPU v5e (see git history): the
+chip has no hardware gather/scatter, so
+  * ``lax.scan`` over a step-major operand streams at ~20ns/step — cheap
+    sequential structure,
+  * one-shot batched ``take_along_axis`` runs at ~0.05ms per [2048,4096]
+    gather — cheap random reads,
+  * ANY scatter costs 3–55ms (plus minutes of compile time) — forbidden,
+  * per-row dynamic gathers inside loops cost ~67µs/step — forbidden.
 
-* Batch layout ``[n_chunks, 4096]``: VPU lanes run across the chunk batch;
-  every sequential structure is a *lockstep* loop whose per-step work is a
-  handful of vectorized gathers/scatters over the batch.
-* Decode: one lockstep step per 8-token flag group (≤512 steps, early
-  exit).  Tokens emit O(1) scatters (literal byte / copy-coverage marks);
-  the variable-length overlapping copies are NEVER expanded byte-by-byte —
-  a cummax recovers each position's governing copy token and 12 rounds of
-  pointer doubling (``ptr = ptr[ptr]``; chains strictly decrease) resolve
-  every byte to its originating literal in O(log 4096) row-wise gathers.
-* Encode: match candidates come from (a) exact run-length matchers for
-  small displacements (flip-cummax trick, vectorized RLE) and (b) a
-  sort-based positional hash table (argsort by (hash, pos); neighbors in
-  sort order are the most recent same-hash candidates), scored 4 bytes per
-  word-compare.  The greedy parse is committed in O(log n) by jump-pointer
-  doubling over ``f(p) = p + step(p)`` instead of a sequential scan; token
-  bytes, flag bytes and bit positions all come from cumsums + scatters.
+Consequently every stage here is built from scans, rolls, one-shot
+gathers, row-wise binary search (searchsorted as 13 unrolled gathers) and
+at most two XLA sorts; there are NO scatters anywhere:
 
-The same compiled functions run on CPU (tests) and TPU (bench).
+* Decode: a byte-per-step lockstep ``lax.scan`` walks all chunks' token
+  streams simultaneously (uniform step index ⇒ the payload byte arrives
+  as a scan operand, not a gather).  It emits a monotone record stream
+  (token start position + literal byte / copy displacement, with carry
+  replication on idle steps).  Each output byte then finds its governing
+  token by binary search, and copy chains resolve in O(log 4096) rounds
+  of pointer doubling (``ptr = ptr[ptr]``) — copies are never expanded
+  byte-at-a-time.
+* Encode: match candidates from (a) exact run-length matchers for small
+  displacements (reverse scan) and (b) a sort-based positional hash table
+  (sort (hash,pos) with carried positions; neighbors in sort order are
+  the most recent same-hash candidates; a second sort restores position
+  order — the scatter-free inverse permutation).  Greedy parse commits in
+  one forward scan; token/flag-byte layout is recovered gather-side: each
+  payload byte position binary-searches the token whose bytes cover it.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -38,16 +43,20 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import DataError
-from ..util import pad_rows, rows_to_bytes
+from ..kernels.common import (
+    capped_matchlen,
+    hash_candidates,
+    le_words,
+    run_matchlens,
+    searchsorted_rows,
+)
 
 CHUNK = 4096
 MIN_MATCH = 3
 # Compressed payload bound: 4096 literals + 512 flag bytes.
 MAX_PAYLOAD = CHUNK + CHUNK // 8
-# Input payload pad (gather slack for the unconditional 2-byte token reads).
+# Input payload pad (scan length; also covers raw chunks).
 PAYLOAD_PAD = MAX_PAYLOAD + 8
-
-_DOUBLING_STEPS = 12  # ceil(log2(CHUNK))
 
 
 def _dsplit(p):
@@ -63,7 +72,7 @@ def _dsplit(p):
     return l_mask, d_shift
 
 
-# Static per-position split tables (host-side constants).
+# Static per-position split tables.
 _POS = np.arange(CHUNK)
 _Q = np.maximum(_POS - 1, 0)
 _BL = np.zeros(CHUNK, np.int32)
@@ -77,6 +86,8 @@ D_SHIFT_TABLE = (12 - _SHIFTS).astype(np.int32)
 # --------------------------------------------------------------------------
 # Decode
 # --------------------------------------------------------------------------
+
+_COPY_BIT = 1 << 20  # record-value flag: copy record (else literal byte)
 
 
 @jax.jit
@@ -94,79 +105,82 @@ def decode_batch(payload, plen, is_comp):
       err:     [N] bool malformed-stream flag
     """
     N, P = payload.shape
-    rows = jnp.arange(N)
+    bytes_T = payload.T  # [P, N] step-major scan operand
+    steps = jnp.arange(P, dtype=jnp.int32)
 
-    def gather_byte(idx):
-        return payload[rows, jnp.clip(idx, 0, P - 1)]
+    def step(carry, xs):
+        p, flags, nflags, expect_hi, pend_lo, rpos, rval, err = carry
+        b, s = xs
+        active = is_comp & (s < plen) & (p < CHUNK)
+        start_flag = active & ~expect_hi & (nflags == 0)
+        in_tok = active & ~start_flag
+        bit = flags & 1
+        is_lit = in_tok & ~expect_hi & (bit == 0)
+        is_lo = in_tok & ~expect_hi & (bit == 1)
+        is_hi = in_tok & expect_hi
+        tok = pend_lo | (b << 8)
+        l_mask, d_shift = _dsplit(p)
+        length = (tok & l_mask) + MIN_MATCH
+        disp = (tok >> d_shift) + 1
+        err = err | (is_hi & ((disp > p) | (p + length > CHUNK)))
+        rpos = jnp.where(is_lit | is_hi, p, rpos)
+        rval = jnp.where(
+            is_lit, b, jnp.where(is_hi, _COPY_BIT | disp, rval)
+        )
+        p = p + jnp.where(
+            is_lit, 1, jnp.where(is_hi, jnp.minimum(length, CHUNK - p), 0)
+        )
+        flags = jnp.where(
+            start_flag, b, jnp.where(is_lit | is_lo, flags >> 1, flags)
+        )
+        nflags = jnp.where(
+            start_flag, 8, jnp.where(is_lit | is_lo, nflags - 1, nflags)
+        )
+        pend_lo = jnp.where(is_lo, b, pend_lo)
+        expect_hi = jnp.where(is_lo, True, jnp.where(is_hi, False, expect_hi))
+        return (p, flags, nflags, expect_hi, pend_lo, rpos, rval, err), (
+            rpos,
+            rval,
+        )
 
-    lit = jnp.zeros((N, CHUNK), jnp.int32)
-    lit_mask = jnp.zeros((N, CHUNK), jnp.bool_)
-    cov_start = jnp.full((N, CHUNK), -1, jnp.int32)
-    cov_disp = jnp.ones((N, CHUNK), jnp.int32)
-    state0 = (
-        jnp.zeros(N, jnp.int32),  # i: payload read index
-        jnp.zeros(N, jnp.int32),  # p: output position
-        lit,
-        lit_mask,
-        cov_start,
-        cov_disp,
+    z = jnp.zeros(N, jnp.int32)
+    init = (
+        z,  # p
+        z,  # flags
+        z,  # nflags
+        jnp.zeros(N, jnp.bool_),  # expect_hi
+        z,  # pend_lo
+        jnp.full((N,), -1, jnp.int32),  # rpos (record carry)
+        z,  # rval
         jnp.zeros(N, jnp.bool_),  # err
     )
+    carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
+    p_final, _, _, expect_hi_f, _, _, _, err = carry
+    err = err | (is_comp & expect_hi_f)  # stream ended mid-token
 
-    def cond(state):
-        i, p, *_ = state
-        return jnp.any(is_comp & (i < plen) & (p < CHUNK))
+    rec_pos = rec_pos_T.T  # [N, P]; monotone non-decreasing (carry-replicated)
+    rec_val = rec_val_T.T
 
-    def body(state):
-        i, p, lit, lit_mask, cov_start, cov_disp, err = state
-        active = is_comp & (i < plen) & (p < CHUNK)
-        flags = jnp.where(active, gather_byte(i), 0)
-        i = jnp.where(active, i + 1, i)
-        for k in range(8):  # unrolled tokens of this flag group
-            tok_active = active & (i < plen) & (p < CHUNK)
-            is_copy = ((flags >> k) & 1) == 1
-            lo = gather_byte(i)
-            hi = gather_byte(i + 1)
-            tok = lo | (hi << 8)
-            l_mask, d_shift = _dsplit(p)
-            length = (tok & l_mask) + MIN_MATCH
-            disp = (tok >> d_shift) + 1
-            do_copy = tok_active & is_copy
-            do_lit = tok_active & ~is_copy
-            err = err | (do_copy & ((disp > p) | (p + length > CHUNK)))
-            err = err | (do_copy & (i + 2 > plen))
-            lit = lit.at[rows, jnp.where(do_lit, p, CHUNK)].set(lo, mode="drop")
-            lit_mask = lit_mask.at[rows, jnp.where(do_lit, p, CHUNK)].set(
-                True, mode="drop"
-            )
-            cpos = jnp.where(do_copy, p, CHUNK)
-            cov_start = cov_start.at[rows, cpos].set(p, mode="drop")
-            cov_disp = cov_disp.at[rows, cpos].set(disp, mode="drop")
-            adv = jnp.where(do_copy, jnp.minimum(length, CHUNK - p), 1)
-            p = jnp.where(tok_active, p + adv, p)
-            i = jnp.where(tok_active, i + jnp.where(is_copy, 2, 1), i)
-        return (i, p, lit, lit_mask, cov_start, cov_disp, err)
+    # --- each output byte finds its governing token by binary search ---
+    j = jnp.broadcast_to(jnp.arange(CHUNK, dtype=jnp.int32)[None, :], (N, CHUNK))
+    t = searchsorted_rows(rec_pos, j, side="right") - 1
+    tc = jnp.clip(t, 0, P - 1)
+    vpack = jnp.take_along_axis(rec_val, tc, axis=1)
+    is_copy_j = (vpack & _COPY_BIT) != 0
+    disp_j = vpack & (_COPY_BIT - 1)
+    valid = (j < p_final[:, None]) & (t >= 0)
+    src = jnp.where(valid & is_copy_j, j - disp_j, j)
+    litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
 
-    i, p, lit, lit_mask, cov_start, cov_disp, err = lax.while_loop(
-        cond, body, state0
-    )
-
-    # --- expand copy coverage + resolve chains by pointer doubling ---
-    pos = jnp.arange(CHUNK)[None, :]
-    g = lax.cummax(cov_start, axis=1)  # governing copy start per position
-    disp_g = jnp.take_along_axis(cov_disp, jnp.clip(g, 0, CHUNK - 1), axis=1)
-    in_range = pos < p[:, None]
-    copy_cov = in_range & ~lit_mask & (g >= 0)
-    src = jnp.where(copy_cov, pos - disp_g, -1)
-    ptr = jnp.where(src >= 0, src, pos)
-    for _ in range(_DOUBLING_STEPS):
+    # --- copy-chain resolution by pointer doubling ---
+    ptr = jnp.clip(src, 0, CHUNK - 1)
+    for _ in range(12):  # 2^12 = 4096 covers the longest chain
         ptr = jnp.take_along_axis(ptr, ptr, axis=1)
-    out_comp = jnp.take_along_axis(lit, ptr, axis=1)
+    out_comp = jnp.take_along_axis(litv, ptr, axis=1)
+
     out = jnp.where(is_comp[:, None], out_comp, payload[:, :CHUNK])
-    out = jnp.where(
-        jnp.arange(CHUNK)[None, :] < jnp.where(is_comp, p, plen)[:, None], out, 0
-    )
-    out_len = jnp.where(is_comp, p, jnp.minimum(plen, CHUNK))
+    out_len = jnp.where(is_comp, p_final, jnp.minimum(plen, CHUNK))
+    out = jnp.where(j < out_len[:, None], out, 0)
     return out, out_len, err
 
 
@@ -174,96 +188,7 @@ def decode_batch(payload, plen, is_comp):
 # Encode
 # --------------------------------------------------------------------------
 
-_HASH_BITS = 13
-_NUM_HASH_CANDS = 2  # previous same-hash positions tried per position
-_CAP = 16  # capped match-measure depth for hash candidates (words of 4)
-_RUN_DISPS = (1, 2, 3)  # exact-length small displacements (RLE and períods)
-
-
-def _run_matchlen(x, d):
-    """Exact match length at every position for fixed displacement ``d``:
-    length of the equal-run of x[p]==x[p-d] starting at p (0 where p<d)."""
-    N, n = x.shape
-    eq = jnp.concatenate(
-        [jnp.zeros((N, d), jnp.bool_), x[:, d:] == x[:, :-d]], axis=1
-    )
-    pos = jnp.arange(n)[None, :]
-    z = jnp.where(eq, n, pos)  # positions of zeros (n = +inf sentinel)
-    nxt0 = jnp.flip(lax.cummin(jnp.flip(z, axis=1), axis=1), axis=1)
-    return jnp.where(eq, 0, 0) + (nxt0 - pos)  # run length from p
-
-
-def _word_at(x, idx, rows):
-    """Little-endian 4-byte word of x at per-row byte index (clipped)."""
-    N, n = x.shape
-    i = jnp.clip(idx, 0, n - 4)
-    b0 = x[rows, i]
-    b1 = x[rows, i + 1]
-    b2 = x[rows, i + 2]
-    b3 = x[rows, i + 3]
-    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-
-
-def _capped_matchlen(x, cand, valid):
-    """Match length (capped at _CAP) of x[p..] vs x[cand..], vectorized.
-
-    Word-compare trick: 4 bytes per gather; the first differing word's
-    leading equal bytes come from counting trailing zero bytes of the XOR
-    (little-endian ⇒ low byte is the first byte).
-    """
-    N, n = x.shape
-    rows = jnp.arange(N)[:, None]
-    pos = jnp.arange(n)[None, :]
-    total = jnp.zeros_like(cand)
-    alive = valid
-    for t in range(_CAP // 4):
-        wa = _word_at(x, pos + 4 * t, rows)
-        wb = _word_at(x, cand + 4 * t, rows)
-        v = wa ^ wb
-        # bytes of agreement in this word: 4 if equal, else index of first
-        # mismatching byte = trailing-zero-bit-count // 8
-        tz = 32 - lax.clz(v & -v) - 1  # undefined for v==0; masked below
-        agree = jnp.where(v == 0, 4, tz >> 3)
-        # _word_at clips its window at n-4, which would mis-align the
-        # compare for tail positions — never credit bytes from a clipped
-        # window (costs ≤3 tail bytes of match length; always safe).
-        clipped = (pos + 4 * t) > (n - 4)
-        agree = jnp.where(clipped, 0, agree)
-        total = total + jnp.where(alive, agree, 0)
-        alive = alive & (v == 0) & ~clipped
-    return jnp.where(valid, total, 0)
-
-
-def _hash_candidates(x, rows2d):
-    """Per-position most-recent same-hash candidate positions via argsort.
-
-    Sorting (hash, pos) groups equal hashes with positions ascending; the
-    K entries preceding p in sort order with equal hash are exactly the K
-    most recent earlier positions with the same 3-byte hash.
-    """
-    N, n = x.shape
-    b0 = x
-    b1 = jnp.roll(x, -1, axis=1)
-    b2 = jnp.roll(x, -2, axis=1)
-    tri = (b0 | (b1 << 8) | (b2 << 16)).astype(jnp.uint32)
-    h = ((tri * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - _HASH_BITS)).astype(
-        jnp.int32
-    )
-    key = h * n + jnp.arange(n)[None, :]
-    order = jnp.argsort(key, axis=1)  # positions sorted by (hash, pos)
-    h_sorted = jnp.take_along_axis(h, order, axis=1)
-    cands = []
-    for k in range(1, _NUM_HASH_CANDS + 1):
-        prev = jnp.roll(order, k, axis=1)
-        prev_h = jnp.roll(h_sorted, k, axis=1)
-        idx = jnp.arange(n)[None, :]
-        ok = (idx >= k) & (prev_h == h_sorted)
-        cand_sorted = jnp.where(ok, prev, -1)
-        # scatter back to position order
-        cand = jnp.zeros_like(cand_sorted)
-        cand = cand.at[rows2d, order].set(cand_sorted)
-        cands.append(cand)
-    return cands
+_RUN_DISPS = (1, 2, 3)  # exact-length small displacements (RLE, periods)
 
 
 @jax.jit
@@ -280,10 +205,8 @@ def encode_batch(chunks, clen):
                fallback when plen >= clen)
     """
     N, n = chunks.shape
-    rows2d = jnp.broadcast_to(jnp.arange(N)[:, None], (N, n))
-    pos = jnp.arange(n)[None, :]
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
     in_len = clen[:, None]
-
     l_mask = jnp.asarray(L_MASK_TABLE)[None, :]
     d_shift = jnp.asarray(D_SHIFT_TABLE)[None, :]
 
@@ -297,13 +220,15 @@ def encode_batch(chunks, clen):
         best_len = jnp.where(better, length, best_len)
         best_disp = jnp.where(better, disp, best_disp)
 
-    for d in _RUN_DISPS:
-        ml = _run_matchlen(chunks, d)
+    # exact small-displacement runs via ONE reverse scan (3 operands)
+    for d, ml in zip(_RUN_DISPS, run_matchlens(chunks, _RUN_DISPS)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
 
-    for cand in _hash_candidates(chunks, rows2d):
+    # hash candidates, scored by capped word-compare
+    w = le_words(chunks)
+    for cand in hash_candidates(chunks, pos_bits=12):
         valid = cand >= 0
-        ml = _capped_matchlen(chunks, jnp.maximum(cand, 0), valid)
+        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n)
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
     # clip to format + chunk limits
@@ -311,54 +236,102 @@ def encode_batch(chunks, clen):
     best_len = jnp.minimum(best_len, max_here)
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
 
-    # ---- greedy commit by jump-pointer doubling ----
-    step = jnp.where(is_match, best_len, 1)
-    f = jnp.minimum(pos + step, n)  # successor position
-    f = jnp.concatenate([f, jnp.full((N, 1), n, jnp.int32)], axis=1)  # f[n]=n
-    committed = jnp.zeros((N, n + 1), jnp.int32).at[:, 0].set(1)
-    rows_ext = jnp.broadcast_to(jnp.arange(N)[:, None], (N, n + 1))
-    J = f
-    for _ in range(_DOUBLING_STEPS):
-        committed = committed.at[rows_ext, J].max(committed)
-        J = jnp.take_along_axis(J, J, axis=1)
-    committed = committed[:, :n] == 1
+    # ---- greedy commit + stream layout in ONE forward scan ----
+    # carry: next-commit position, token count, data-byte count
+    step_adv = jnp.where(is_match, best_len, 1)
 
-    emitted = committed & (pos < in_len)
-    tok_copy = emitted & is_match
-    # ---- token stream layout (cumsums + scatters) ----
-    t_idx = jnp.cumsum(emitted.astype(jnp.int32), axis=1) - 1  # token index
-    grp = t_idx >> 3
-    bit = t_idx & 7
-    sz = jnp.where(emitted, jnp.where(tok_copy, 2, 1), 0)
-    data_before = jnp.cumsum(sz, axis=1) - sz  # exclusive prefix of sizes
-    off = jnp.where(emitted, (grp + 1) + data_before, MAX_PAYLOAD)
+    def fwd_step(carry, xs):
+        nc, tcnt, dbytes = carry
+        pcol, adv, ismatch, okpos = xs
+        commit = (pcol == nc) & okpos
+        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, adv, 1), nc)
+        iscp = commit & ismatch
+        t_after = tcnt + commit.astype(jnp.int32)
+        d_after = dbytes + jnp.where(iscp, 2, commit.astype(jnp.int32))
+        return (nc2, t_after, d_after), (commit, iscp, t_after, dbytes)
 
-    payload = jnp.zeros((N, MAX_PAYLOAD + 2), jnp.int32)
-    rowsN = rows2d
-    tokv = jnp.left_shift(best_disp - 1, d_shift) | (best_len - MIN_MATCH)
-    lit_b = chunks
-    b0 = jnp.where(tok_copy, tokv & 0xFF, lit_b)
-    payload = payload.at[rowsN, jnp.where(emitted, off, MAX_PAYLOAD + 1)].set(
-        b0, mode="drop"
+    pcols = pos.T  # [n, N]
+    xs = (
+        pcols,
+        step_adv.T,
+        is_match.T,
+        (pos < in_len).T,
     )
-    payload = payload.at[
-        rowsN, jnp.where(tok_copy, off + 1, MAX_PAYLOAD + 1)
-    ].set(tokv >> 8, mode="drop")
-    # flag bytes: group g's flag byte sits just before its first token
-    NGROUPS = n // 8 + 2
-    first_in_grp = emitted & (bit == 0)
-    fpos_by_g = jnp.zeros((N, NGROUPS), jnp.int32)
-    fpos_by_g = fpos_by_g.at[
-        rowsN, jnp.where(first_in_grp, grp, NGROUPS - 1)
-    ].set(off - 1, mode="drop")
-    fb = jnp.take_along_axis(fpos_by_g, jnp.clip(grp, 0, NGROUPS - 1), axis=1)
-    flag_contrib = jnp.where(tok_copy, jnp.left_shift(1, bit), 0)
-    payload = payload.at[
-        rowsN, jnp.where(emitted, fb, MAX_PAYLOAD + 1)
-    ].add(flag_contrib, mode="drop")
+    init = (jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32))
+    (nc_f, T_total, data_total), ys = lax.scan(fwd_step, init, xs)
+    committed_T, iscp_T, t_after_T, data_before_T = ys
+    committed = committed_T.T  # [N, n]
+    t_after = t_after_T.T  # tokens committed up to and including p
+    data_before = data_before_T.T
 
-    plen = jnp.max(jnp.where(emitted, off + sz, 0), axis=1)
-    return payload[:, :MAX_PAYLOAD], plen
+    # ---- token-major views by binary search (pos_of_token) ----
+    tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
+    p_t = searchsorted_rows(t_after, tq + 1, side="left")  # [N, n] pos of token t
+    tok_exists = tq < T_total[:, None]
+    p_tc = jnp.clip(p_t, 0, n - 1)
+    iscp_tm = jnp.take_along_axis(committed & is_match, p_tc, axis=1) & tok_exists
+    len_tm = jnp.take_along_axis(best_len, p_tc, axis=1)
+    disp_tm = jnp.take_along_axis(best_disp, p_tc, axis=1)
+    dsh_tm = jnp.take_along_axis(
+        jnp.broadcast_to(d_shift, (N, n)), p_tc, axis=1
+    )
+    lit_tm = jnp.take_along_axis(chunks, p_tc, axis=1)
+    dbefore_tm = jnp.take_along_axis(data_before, p_tc, axis=1)
+    grp_tm = tq >> 3
+    off_tm = jnp.where(
+        tok_exists, (grp_tm + 1) + dbefore_tm, MAX_PAYLOAD + 16
+    )  # monotone; absent tokens pushed past the end
+    tokv_tm = jnp.left_shift(disp_tm - 1, dsh_tm) | (len_tm - MIN_MATCH)
+    b0_tm = jnp.where(iscp_tm, tokv_tm & 0xFF, lit_tm)
+
+    # group flag bytes: value = OR of copy bits; position = off(first tok) - 1
+    NG = n // 8
+    gq = jnp.arange(NG, dtype=jnp.int32)[None, :]
+    gq = jnp.broadcast_to(gq, (N, NG))
+    fval = jnp.zeros((N, NG), jnp.int32)
+    for k in range(8):
+        tk = jnp.clip(gq * 8 + k, 0, n - 1)
+        bitk = jnp.take_along_axis(iscp_tm.astype(jnp.int32), tk, axis=1)
+        fval = fval | jnp.left_shift(bitk, k)
+    first_t = jnp.clip(gq * 8, 0, n - 1)
+    fpos = jnp.take_along_axis(off_tm, first_t, axis=1) - 1
+    grp_exists = gq * 8 < T_total[:, None]
+    fpos = jnp.where(grp_exists, fpos, MAX_PAYLOAD + 16)
+
+    # ---- payload bytes: each position binary-searches its content ----
+    MAXQ = MAX_PAYLOAD
+    bq = jnp.broadcast_to(
+        jnp.arange(MAXQ, dtype=jnp.int32)[None, :], (N, MAXQ)
+    )
+    tb = searchsorted_rows(off_tm, bq, side="right") - 1
+    tbc = jnp.clip(tb, 0, n - 1)
+    off_b = jnp.take_along_axis(off_tm, tbc, axis=1)
+    is_b0 = (tb >= 0) & (bq == off_b)
+    is_b1 = (
+        (tb >= 0)
+        & (bq == off_b + 1)
+        & jnp.take_along_axis(iscp_tm, tbc, axis=1)
+    )
+    gb = searchsorted_rows(fpos, bq, side="right") - 1
+    gbc = jnp.clip(gb, 0, NG - 1)
+    is_flag = (gb >= 0) & (bq == jnp.take_along_axis(fpos, gbc, axis=1))
+    val = jnp.where(
+        is_flag,
+        jnp.take_along_axis(fval, gbc, axis=1),
+        jnp.where(
+            is_b0,
+            jnp.take_along_axis(b0_tm, tbc, axis=1),
+            jnp.where(
+                is_b1,
+                jnp.take_along_axis(tokv_tm, tbc, axis=1) >> 8,
+                0,
+            ),
+        ),
+    )
+    ngroups = (T_total + 7) >> 3
+    plen = jnp.where(T_total > 0, ngroups + data_total, 0)
+    payload = jnp.where(bq < plen[:, None], val, 0)
+    return payload, plen
 
 
 # --------------------------------------------------------------------------
@@ -416,7 +389,11 @@ def decompress(data: bytes, out_len=None) -> bytes:
     out_lens = np.asarray(out_lens)
     if np.asarray(err)[: len(payloads)].any():
         raise DataError("LZNT1: malformed stream")
-    result = rows_to_bytes(out[: len(payloads)], out_lens[: len(payloads)])
+    parts = [
+        out[i, : int(out_lens[i])].astype(np.uint8).tobytes()
+        for i in range(len(payloads))
+    ]
+    result = b"".join(parts)
     if out_len is not None:
         if len(result) < out_len:
             raise DataError("LZNT1: stream ended before out_len bytes")
@@ -434,10 +411,10 @@ def compress(data: bytes) -> bytes:
     chunks = np.zeros((N, CHUNK), np.int32)
     clen = np.zeros(N, np.int32)
     arr = np.frombuffer(data, np.uint8)
-    for k in range(nchunks):
-        c = arr[k * CHUNK : (k + 1) * CHUNK]
-        chunks[k, : len(c)] = c
-        clen[k] = len(c)
+    flat = chunks[:nchunks].reshape(-1)
+    flat[: len(arr)] = arr
+    chunks[:nchunks] = flat.reshape(nchunks, CHUNK)
+    clen[:nchunks] = np.minimum(len(arr) - np.arange(nchunks) * CHUNK, CHUNK)
     payload, plen = encode_batch(jnp.asarray(chunks), jnp.asarray(clen))
     payload = np.asarray(payload)
     plen = np.asarray(plen)

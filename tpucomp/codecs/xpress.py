@@ -1,0 +1,578 @@
+"""Plain-Xpress TPU codec — unit-parallel encode/decode in pure-JAX/XLA.
+
+Capability parity: reference ``src/xpress_compress.cpp`` /
+``src/xpress_decompress.cpp`` + ``XpressDictionary.h`` (SURVEY.md §2 row 4;
+mount unavailable — format per [MS-XCA] §2.3–2.4, SURVEY.md §8.2).
+
+Parallel model: plain Xpress is the one truly sequential format (single
+flag/nibble stream, matches reach the whole preceding buffer — SURVEY.md
+§5): a foreign single-stream buffer cannot be split.  The TPU path
+therefore operates on batches of INDEPENDENT units (fixed-size segments
+produced by this framework's batch/dist API, each a complete valid Xpress
+stream; matches confined within the unit).  Foreign one-shot streams take
+the sequential oracle/CPU path.  Same TPU cost-model rules as
+tpucomp/codecs/lznt1.py: scans + one-shot gathers + sorts; no scatters.
+
+Decode: a byte-per-step ``lax.scan`` drives a 14-state machine per unit
+lane (flag-word bytes ×4, token start, match-hi, shared nibble, byte /
+u16 / u32 length escapes), emitting a monotone token-record stream; output
+bytes bind to records by binary search and copy chains resolve by pointer
+doubling.
+
+Encode: shared match kernels (tpucomp.kernels.common) with the 8192-byte
+window; the greedy commit scan additionally threads the SHARED-NIBBLE
+state (escape nibbles pack two-per-byte across tokens; the high nibble of
+an earlier token's escape byte belongs to a LATER token), and the payload
+is assembled gather-side: each output byte position classifies itself as
+flag-word byte / token byte / nibble byte / escape byte via binary
+searches over the monotone offset tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import ArgError, DataError
+from ..kernels.common import (
+    capped_matchlen,
+    hash_candidates,
+    le_words,
+    run_matchlens,
+    searchsorted_rows,
+)
+
+MIN_MATCH = 3
+WINDOW = 8192
+UNIT = 65536  # default independent-unit size for the batched TPU path
+
+
+def max_payload(u: int) -> int:
+    """Worst case unit payload: all literals + 1 flag word per 32 + pad."""
+    return u + 4 * ((u + 31) // 32) + 8
+
+
+def max_compressed_size(n: int) -> int:
+    return n + 4 * ((n + 31) // 32) + 4
+
+
+# --------------------------------------------------------------------------
+# Decode: 14-state byte-per-step machine
+# --------------------------------------------------------------------------
+
+# modes
+_M_F0, _M_F1, _M_F2, _M_F3 = 0, 1, 2, 3  # flag word bytes (LE)
+_M_TOK = 4  # literal byte or match lo, per current flag bit
+_M_HI = 5
+_M_NIB = 6
+_M_ESC = 7
+_M_U16_0, _M_U16_1 = 8, 9
+_M_U32_0, _M_U32_1, _M_U32_2, _M_U32_3 = 10, 11, 12, 13
+
+_COPY_BIT = 1 << 20
+
+
+@jax.jit
+def decode_batch(payload, plen, out_len):
+    """Decode a batch of independent Xpress unit streams.
+
+    Args:
+      payload: [N, P] int32 unit payload bytes (zero-padded).
+      plen:    [N] int32 payload lengths.
+      out_len: [N] int32 expected uncompressed length per unit (required:
+               the format carries no size header — [MS-XCA] §2.4).
+
+    Returns (out [N, U], err [N]) where U = the static unit capacity
+    (out.shape[1] == the max out_len this batch was built for).
+    """
+    N, P = payload.shape
+    U = int(_DECODE_U[0])  # static unit capacity, set by wrapper
+    return _decode_impl(payload, plen, out_len, U)
+
+
+_DECODE_U = [UNIT]
+
+
+def make_decoder(u: int):
+    """Build a jitted decoder for unit capacity ``u``."""
+
+    @jax.jit
+    def dec(payload, plen, out_len):
+        return _decode_impl(payload, plen, out_len, u)
+
+    return dec
+
+
+def _decode_impl(payload, plen, out_len, U):
+    N, P = payload.shape
+    bytes_T = payload.T
+    steps = jnp.arange(P, dtype=jnp.int32)
+
+    def step(carry, xs):
+        (p, mode, flags, nflags, pend_lo, pend_len, nib_have, nib_val,
+         rpos, rval, err) = carry
+        b, s = xs
+        active = (s < plen) & (p < out_len)
+
+        is_f = active & (mode <= _M_F3)
+        is_tok = active & (mode == _M_TOK)
+        is_hi = active & (mode == _M_HI)
+        is_nib = active & (mode == _M_NIB)
+        is_esc = active & (mode == _M_ESC)
+        is_u16a = active & (mode == _M_U16_0)
+        is_u16b = active & (mode == _M_U16_1)
+        is_u32 = active & (mode >= _M_U32_0)
+        is_u32d = active & (mode == _M_U32_3)
+
+        # ---- flag word accumulation (LE bytes; consumed MSB-first) ----
+        flags = jnp.where(is_f, flags | (b << ((mode & 3) * 8)), flags)
+        f_done = active & (mode == _M_F3)
+        nflags = jnp.where(f_done, 32, nflags)
+
+        bit = (flags >> 31) & 1
+        is_lit = is_tok & (bit == 0)
+        is_lo = is_tok & (bit == 1)
+
+        # ---- match hi: offset + short length, maybe complete ----
+        tok = pend_lo | (b << 8)
+        offset = (tok >> 3) + 1
+        L0 = tok & 7
+        hi_short = is_hi & (L0 < 7)  # complete now, len = L0 + 3
+        hi_esc = is_hi & (L0 == 7)
+        # second nibble use completes (or escalates) without a byte
+        use_stored = hi_esc & nib_have
+        stored_lt15 = use_stored & (nib_val < 15)
+        stored_esc = use_stored & (nib_val == 15)
+        need_nib = hi_esc & ~nib_have
+
+        # ---- nibble byte ----
+        nib_lo = b & 0xF
+        nib_done = is_nib & (nib_lo < 15)
+        nib_esc = is_nib & (nib_lo == 15)
+
+        # ---- escape byte / u16 / u32 ----
+        esc_done = is_esc & (b < 255)
+        esc_u16 = is_esc & (b == 255)
+        u16v = pend_len | (b << 8)
+        u16_zero = is_u16b & (u16v == 0)
+        u16_done = is_u16b & (u16v != 0)
+        u32v = pend_len | (b << 24)
+        u32_done = is_u32d
+
+        # length per completion path (match length, final)
+        m_len = jnp.where(
+            hi_short, L0 + MIN_MATCH,
+            jnp.where(
+                stored_lt15, nib_val + 7 + MIN_MATCH,
+                jnp.where(
+                    nib_done, nib_lo + 7 + MIN_MATCH,
+                    jnp.where(
+                        esc_done, b + 22 + MIN_MATCH,
+                        jnp.where(
+                            u16_done, u16v + MIN_MATCH,
+                            u32v + MIN_MATCH,  # u32_done
+                        ),
+                    ),
+                ),
+            ),
+        )
+        m_done = hi_short | stored_lt15 | nib_done | esc_done | u16_done | u32_done
+        err = err | (u16_done & (u16v < 22)) | (u32_done & (u32v < 22))
+
+        # shared-nibble state: first use stores the high nibble
+        nib_have2 = jnp.where(is_nib, True, jnp.where(use_stored, False, nib_have))
+        nib_val2 = jnp.where(is_nib, b >> 4, nib_val)
+
+        # pending offset survives across escape bytes
+        pend_lo2 = jnp.where(is_lo, b, jnp.where(is_hi, tok, pend_lo))
+        # after M_HI, pend_lo holds the full token (offset recoverable)
+        m_off = (pend_lo2 >> 3) + 1
+        m_off = jnp.where(is_hi, offset, m_off)
+
+        pend_len2 = jnp.where(
+            is_u16a | (active & (mode == _M_U32_0)), b,
+            jnp.where(
+                active & (mode == _M_U32_1), pend_len | (b << 8),
+                jnp.where(
+                    active & (mode == _M_U32_2), pend_len | (b << 16),
+                    pend_len,
+                ),
+            ),
+        )
+
+        # ---- records + output advance ----
+        err = err | (is_lit & (p >= out_len))
+        err = err | (m_done & ((m_off > p) | (p + m_len > out_len)))
+        rpos = jnp.where(is_lit | m_done, p, rpos)
+        rval = jnp.where(
+            is_lit, b, jnp.where(m_done, _COPY_BIT | m_off, rval)
+        )
+        adv = jnp.where(is_lit, 1, jnp.where(m_done, m_len, 0))
+        p = jnp.minimum(p + adv, U)
+
+        # ---- flag-bit consumption on token completion ----
+        done_tok = is_lit | m_done
+        flags = jnp.where(done_tok, flags << 1, flags)  # int32 wraps mod 2^32
+        nflags = jnp.where(done_tok, nflags - 1, nflags)
+
+        # ---- next mode ----
+        mode2 = jnp.where(
+            is_f, jnp.where(f_done, _M_TOK, mode + 1),
+            jnp.where(
+                is_lit, _M_TOK,
+                jnp.where(
+                    is_lo, _M_HI,
+                    jnp.where(
+                        need_nib, _M_NIB,
+                        jnp.where(
+                            stored_esc, _M_ESC,
+                            jnp.where(
+                                nib_esc, _M_ESC,
+                                jnp.where(
+                                    esc_u16, _M_U16_0,
+                                    jnp.where(
+                                        is_u16a, _M_U16_1,
+                                        jnp.where(
+                                            u16_zero, _M_U32_0,
+                                            jnp.where(
+                                                is_u32 & ~is_u32d, mode + 1,
+                                                _M_TOK,  # any completion
+                                            ),
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        # fresh flag word when the group is exhausted
+        mode2 = jnp.where(
+            done_tok & (nflags == 0) & (mode2 == _M_TOK), _M_F0, mode2
+        )
+        # stored_esc consumed NO byte this step but the machine must still
+        # process the incoming byte b as the escape byte?  No: stored_esc
+        # happens during the M_HI step, whose byte b WAS the hi byte; the
+        # next byte is the escape byte — mode transition above is correct.
+
+        return (
+            (p, mode2, jnp.where(f_done | (mode2 == _M_F0), jnp.where(mode2 == _M_F0, 0, flags), flags),
+             nflags, pend_lo2, pend_len2, nib_have2, nib_val2, rpos, rval, err),
+            (rpos, rval),
+        )
+
+    z = jnp.zeros(N, jnp.int32)
+    init = (
+        z,                              # p
+        z,                              # mode (= _M_F0)
+        z,                              # flags
+        z,                              # nflags
+        z,                              # pend_lo
+        z,                              # pend_len
+        jnp.zeros(N, jnp.bool_),        # nib_have
+        z,                              # nib_val
+        jnp.full((N,), -1, jnp.int32),  # rpos
+        z,                              # rval
+        jnp.zeros(N, jnp.bool_),        # err
+    )
+    carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
+    p_final = carry[0]
+    err = carry[-1] | (p_final < out_len)
+
+    rec_pos = rec_pos_T.T
+    rec_val = rec_val_T.T
+    j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    t = searchsorted_rows(rec_pos, j, side="right") - 1
+    tc = jnp.clip(t, 0, P - 1)
+    vpack = jnp.take_along_axis(rec_val, tc, axis=1)
+    is_copy_j = (vpack & _COPY_BIT) != 0
+    disp_j = vpack & (_COPY_BIT - 1)
+    valid = (j < p_final[:, None]) & (t >= 0)
+    src = jnp.where(valid & is_copy_j, j - disp_j, j)
+    litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
+    ptr = jnp.clip(src, 0, U - 1)
+    for _ in range(max(1, (U - 1).bit_length())):
+        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
+    out = jnp.take_along_axis(litv, ptr, axis=1)
+    out = jnp.where(j < out_len[:, None], out, 0)
+    return out, err
+
+
+# --------------------------------------------------------------------------
+# Encode
+# --------------------------------------------------------------------------
+
+_RUN_DISPS = (1, 2, 3)
+
+
+def make_encoder(u: int):
+    @jax.jit
+    def enc(units, ulen):
+        return _encode_impl(units, ulen, u)
+
+    return enc
+
+
+def _match_extra_sizes(L, opens):
+    """Byte cost of a match beyond the 2-byte token, given L = len-3 and
+    whether this token opens a fresh nibble byte."""
+    nib_user = L >= 7
+    rem = jnp.maximum(L - 7, 0)
+    rem2 = jnp.maximum(rem - 15, 0)
+    sz = jnp.where(nib_user & opens, 1, 0)
+    sz = sz + jnp.where(nib_user & (rem >= 15), 1, 0)  # esc byte or 0xFF
+    big = nib_user & (rem >= 15) & (rem - 15 >= 255)
+    sz = sz + jnp.where(big, 2, 0)  # u16
+    sz = sz + jnp.where(big & (L >= 0x10000), 4, 0)  # u32
+    return sz, nib_user, rem, big
+
+
+def _encode_impl(units, ulen, U):
+    N, n = units.shape
+    assert n == U
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
+    in_len = ulen[:, None]
+
+    # ---- candidates ----
+    best_len = jnp.zeros((N, n), jnp.int32)
+    best_disp = jnp.ones((N, n), jnp.int32)
+
+    def consider(length, disp, cond):
+        nonlocal best_len, best_disp
+        better = cond & (length > best_len)
+        best_len = jnp.where(better, length, best_len)
+        best_disp = jnp.where(better, disp, best_disp)
+
+    for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
+        consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
+    w = le_words(units)
+    for cand in hash_candidates(units):
+        disp = pos - cand
+        valid = (cand >= 0) & (disp <= WINDOW)
+        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n)
+        consider(ml, disp, valid & (ml >= MIN_MATCH))
+
+    best_len = jnp.minimum(best_len, in_len - pos)
+    is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
+
+    # ---- greedy commit + layout scan (threads shared-nibble state) ----
+    def fwd_step(carry, xs):
+        nc, tcnt, dbytes, nib_par = carry
+        pcol, blen, ismatch, okpos = xs
+        commit = (pcol == nc) & okpos
+        iscp = commit & ismatch
+        L = blen - MIN_MATCH
+        nib_user = iscp & (L >= 7)
+        opens = nib_user & (nib_par == 0)
+        closes = nib_user & (nib_par == 1)
+        extra, _, _, _ = _match_extra_sizes(L, opens)
+        tok_sz = jnp.where(iscp, 2 + extra, jnp.where(commit, 1, 0))
+        # nibble byte sits right after the 2-byte token of the opener
+        nib_pos_here = dbytes + 2
+        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, blen, 1), nc)
+        t_after = tcnt + commit.astype(jnp.int32)
+        d_after = dbytes + tok_sz
+        nib_par2 = jnp.where(nib_user, 1 - nib_par, nib_par)
+        return (nc2, t_after, d_after, nib_par2), (
+            commit, iscp, t_after, dbytes, opens, nib_pos_here
+        )
+
+    xs = (pos.T, best_len.T, is_match.T, (pos < in_len).T)
+    z = jnp.zeros(N, jnp.int32)
+    (nc_f, T_total, data_total, _), ys = lax.scan(
+        fwd_step, (z, z, z, z), xs
+    )
+    committed = ys[0].T
+    t_after = ys[2].T
+    data_before = ys[3].T
+    opens_pm = ys[4].T  # position-major "this token opens a nibble byte"
+
+    # ---- token-major views ----
+    tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
+    p_t = searchsorted_rows(t_after, tq + 1, side="left")
+    tok_exists = tq < T_total[:, None]
+    p_tc = jnp.clip(p_t, 0, n - 1)
+
+    def tm(arr):
+        return jnp.take_along_axis(arr, p_tc, axis=1)
+
+    iscp_tm = tm(committed & is_match) & tok_exists
+    len_tm = tm(best_len)
+    disp_tm = tm(best_disp)
+    lit_tm = tm(units)
+    dbefore_tm = tm(data_before)
+    opens_tm = tm(opens_pm) & tok_exists
+    L_tm = len_tm - MIN_MATCH
+    grp_tm = tq >> 5
+    off_tm = jnp.where(
+        tok_exists, 4 * (grp_tm + 1) + dbefore_tm, jnp.int32(1 << 28)
+    )
+    extra_tm, nibuser_tm, rem_tm, big_tm = _match_extra_sizes(L_tm, opens_tm)
+    sz_tm = jnp.where(iscp_tm, 2 + extra_tm, 1)
+    tokv_tm = jnp.left_shift(disp_tm - 1, 3) | jnp.minimum(L_tm, 7)
+    nibval_tm = jnp.minimum(rem_tm, 15)
+    nibuser_tm = nibuser_tm & iscp_tm
+
+    # nibble pairing: opener's byte carries the NEXT nibble-user's value in
+    # its high nibble.  nu_after[t] = # nibble users among tokens <= t.
+    nu_after_pm_T = None  # (not needed position-major)
+    nu_after = jnp.cumsum(nibuser_tm.astype(jnp.int32), axis=1)
+    # partner of opener t = first token with nu_after == nu_after[t] + 1
+    partner = searchsorted_rows(nu_after, nu_after + 1, side="left")
+    partner_c = jnp.clip(partner, 0, n - 1)
+    partner_nib = jnp.take_along_axis(nibval_tm, partner_c, axis=1)
+    partner_exists = partner < jnp.minimum(
+        jnp.int32(n), T_total[:, None]
+    )
+    nib_byte_tm = nibval_tm | jnp.where(
+        partner_exists, partner_nib << 4, 0
+    )
+
+    # ---- group flag words ----
+    NG = n // 32
+    gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
+    fv = jnp.zeros((N, NG), jnp.int32)
+    for k in range(32):
+        tk = jnp.clip(gq * 32 + k, 0, n - 1)
+        bitk = jnp.take_along_axis(iscp_tm.astype(jnp.int32), tk, axis=1)
+        # padding bits (absent tokens) are 1s per the encoder convention
+        absent = (gq * 32 + k) >= T_total[:, None]
+        bitk = jnp.where(absent, 1, bitk)
+        fv = fv | jnp.left_shift(bitk, 31 - k)
+    first_t = jnp.clip(gq * 32, 0, n - 1)
+    fpos = jnp.take_along_axis(off_tm, first_t, axis=1) - 4
+    grp_exists = gq * 32 < T_total[:, None]
+    fpos = jnp.where(grp_exists, fpos, jnp.int32(1 << 28))
+
+    # ---- payload byte assembly ----
+    MAXP = max_payload(n)
+    bq = jnp.broadcast_to(jnp.arange(MAXP, dtype=jnp.int32)[None, :], (N, MAXP))
+    gb = searchsorted_rows(fpos, bq, side="right") - 1
+    gbc = jnp.clip(gb, 0, NG - 1)
+    fpos_b = jnp.take_along_axis(fpos, gbc, axis=1)
+    in_flag = (gb >= 0) & (bq - fpos_b < 4)
+    fv_b = jnp.take_along_axis(fv, gbc, axis=1)
+    flag_byte = (fv_b >> ((bq - fpos_b) * 8)) & 0xFF  # LE storage
+
+    tb = searchsorted_rows(off_tm, bq, side="right") - 1
+    tbc = jnp.clip(tb, 0, n - 1)
+    off_b = jnp.take_along_axis(off_tm, tbc, axis=1)
+    delta = bq - off_b
+    iscp_b = jnp.take_along_axis(iscp_tm, tbc, axis=1)
+    tokv_b = jnp.take_along_axis(tokv_tm, tbc, axis=1)
+    lit_b = jnp.take_along_axis(lit_tm, tbc, axis=1)
+    opens_b = jnp.take_along_axis(opens_tm, tbc, axis=1)
+    nibbyte_b = jnp.take_along_axis(nib_byte_tm, tbc, axis=1)
+    rem_b = jnp.take_along_axis(rem_tm, tbc, axis=1)
+    big_b = jnp.take_along_axis(big_tm, tbc, axis=1)
+    L_b = jnp.take_along_axis(L_tm, tbc, axis=1)
+
+    # escape byte layout after the 2-byte token:
+    #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]
+    esc0 = 2 + opens_b.astype(jnp.int32)
+    esc_bv = jnp.where(big_b, 255, jnp.maximum(rem_b - 15, 0))
+    u16v = jnp.where(L_b < 0x10000, L_b, 0)
+    u32v = L_b
+    val = jnp.where(
+        delta == 0,
+        jnp.where(iscp_b, tokv_b & 0xFF, lit_b),
+        jnp.where(
+            delta == 1,
+            tokv_b >> 8,
+            jnp.where(
+                opens_b & (delta == 2),
+                nibbyte_b,
+                jnp.where(
+                    delta == esc0,
+                    esc_bv,
+                    jnp.where(
+                        delta == esc0 + 1,
+                        u16v & 0xFF,
+                        jnp.where(
+                            delta == esc0 + 2,
+                            u16v >> 8,
+                            (u32v >> ((delta - esc0 - 3) * 8)) & 0xFF,
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    val = jnp.where(in_flag, flag_byte, val)
+
+    ngroups = (T_total + 31) >> 5
+    plen = jnp.where(T_total > 0, 4 * ngroups + data_total, 0)
+    payload = jnp.where(bq < plen[:, None], val, 0)
+    return payload, plen
+
+
+# --------------------------------------------------------------------------
+# Host wrappers: unit-batch bytes API (used by dist + tests)
+# --------------------------------------------------------------------------
+
+_ENCODERS = {}
+_DECODERS = {}
+
+
+def _enc_for(u):
+    if u not in _ENCODERS:
+        _ENCODERS[u] = make_encoder(u)
+    return _ENCODERS[u]
+
+
+def _dec_for(u):
+    if u not in _DECODERS:
+        _DECODERS[u] = make_decoder(u)
+    return _DECODERS[u]
+
+
+def compress_units(units_data, unit_size=UNIT):
+    """Compress a list of byte units (each <= unit_size) in one batch.
+
+    Returns a list of per-unit Xpress streams (each independently
+    decodable per [MS-XCA] §2.3)."""
+    if not units_data:
+        return []
+    N = len(units_data)
+    units = np.zeros((N, unit_size), np.int32)
+    ulen = np.zeros(N, np.int32)
+    for i, ud in enumerate(units_data):
+        a = np.frombuffer(ud, np.uint8)
+        if len(a) > unit_size:
+            raise ArgError("unit larger than unit_size")
+        units[i, : len(a)] = a
+        ulen[i] = len(a)
+    payload, plen = _enc_for(unit_size)(jnp.asarray(units), jnp.asarray(ulen))
+    payload = np.asarray(payload)
+    plen = np.asarray(plen)
+    return [
+        payload[i, : int(plen[i])].astype(np.uint8).tobytes() for i in range(N)
+    ]
+
+
+def decompress_units(streams, out_lens, unit_size=UNIT):
+    """Decompress a batch of independent Xpress unit streams."""
+    if not streams:
+        return []
+    N = len(streams)
+    P = max_payload(unit_size)
+    payload = np.zeros((N, P), np.int32)
+    plen = np.zeros(N, np.int32)
+    olen = np.asarray(out_lens, np.int32)
+    for i, s in enumerate(streams):
+        a = np.frombuffer(s, np.uint8)
+        payload[i, : len(a)] = a
+        plen[i] = len(a)
+    out, err = _dec_for(unit_size)(
+        jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
+    )
+    if np.asarray(err).any():
+        raise DataError("Xpress: malformed unit stream")
+    out = np.asarray(out)
+    return [
+        out[i, : int(olen[i])].astype(np.uint8).tobytes() for i in range(N)
+    ]
