@@ -7,6 +7,9 @@ deterministic.  bench.py does NOT import this and runs on the real TPU.
 
 import os
 
+# small unit-batch padding: keeps the CPU-simulated device codecs cheap
+os.environ.setdefault("TPUCOMP_BATCH_MULTIPLE", "8")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -45,8 +45,10 @@ from jax import lax
 from ..errors import DataError
 from ..kernels.common import (
     capped_matchlen,
+    fill_gather,
     hash_candidates,
     le_words,
+    resolve_copies,
     run_matchlens,
     searchsorted_rows,
 )
@@ -161,22 +163,15 @@ def decode_batch(payload, plen, is_comp):
     rec_pos = rec_pos_T.T  # [N, P]; monotone non-decreasing (carry-replicated)
     rec_val = rec_val_T.T
 
-    # --- each output byte finds its governing token by binary search ---
+    # --- records -> dense per-output-position token info (sort fill) ---
     j = jnp.broadcast_to(jnp.arange(CHUNK, dtype=jnp.int32)[None, :], (N, CHUNK))
-    t = searchsorted_rows(rec_pos, j, side="right") - 1
-    tc = jnp.clip(t, 0, P - 1)
-    vpack = jnp.take_along_axis(rec_val, tc, axis=1)
+    vpack = fill_gather(rec_pos, rec_val, j)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
-    valid = (j < p_final[:, None]) & (t >= 0)
-    src = jnp.where(valid & is_copy_j, j - disp_j, j)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
 
-    # --- copy-chain resolution by pointer doubling ---
-    ptr = jnp.clip(src, 0, CHUNK - 1)
-    for _ in range(12):  # 2^12 = 4096 covers the longest chain
-        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
-    out_comp = jnp.take_along_axis(litv, ptr, axis=1)
+    # --- copy-chain resolution (windowed scan + far sort rounds) ---
+    out_comp = resolve_copies(is_copy_j, disp_j, litv)
 
     out = jnp.where(is_comp[:, None], out_comp, payload[:, :CHUNK])
     out_len = jnp.where(is_comp, p_final, jnp.minimum(plen, CHUNK))
@@ -361,8 +356,7 @@ def split_stream(data: bytes):
     return payloads, comps
 
 
-def _pad_batch(n, mult=256):
-    return max(mult, -(-n // mult) * mult)
+from ..util import pad_batch as _pad_batch  # noqa: E402
 
 
 def decompress(data: bytes, out_len=None) -> bytes:

@@ -37,10 +37,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import ArgError, DataError
+from ..util import pad_batch
 from ..kernels.common import (
     capped_matchlen,
+    fill_gather,
     hash_candidates,
     le_words,
+    resolve_copies,
     run_matchlens,
     searchsorted_rows,
 )
@@ -286,18 +289,11 @@ def _decode_impl(payload, plen, out_len, U):
     rec_pos = rec_pos_T.T
     rec_val = rec_val_T.T
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    t = searchsorted_rows(rec_pos, j, side="right") - 1
-    tc = jnp.clip(t, 0, P - 1)
-    vpack = jnp.take_along_axis(rec_val, tc, axis=1)
+    vpack = fill_gather(rec_pos, rec_val, j)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
-    valid = (j < p_final[:, None]) & (t >= 0)
-    src = jnp.where(valid & is_copy_j, j - disp_j, j)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
-    ptr = jnp.clip(src, 0, U - 1)
-    for _ in range(max(1, (U - 1).bit_length())):
-        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
-    out = jnp.take_along_axis(litv, ptr, axis=1)
+    out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)
     return out, err
 
@@ -537,7 +533,7 @@ def compress_units(units_data, unit_size=UNIT):
     decodable per [MS-XCA] §2.3)."""
     if not units_data:
         return []
-    N = len(units_data)
+    N = pad_batch(len(units_data))
     units = np.zeros((N, unit_size), np.int32)
     ulen = np.zeros(N, np.int32)
     for i, ud in enumerate(units_data):
@@ -550,7 +546,8 @@ def compress_units(units_data, unit_size=UNIT):
     payload = np.asarray(payload)
     plen = np.asarray(plen)
     return [
-        payload[i, : int(plen[i])].astype(np.uint8).tobytes() for i in range(N)
+        payload[i, : int(plen[i])].astype(np.uint8).tobytes()
+        for i in range(len(units_data))
     ]
 
 
@@ -558,11 +555,12 @@ def decompress_units(streams, out_lens, unit_size=UNIT):
     """Decompress a batch of independent Xpress unit streams."""
     if not streams:
         return []
-    N = len(streams)
+    N = pad_batch(len(streams))
     P = max_payload(unit_size)
     payload = np.zeros((N, P), np.int32)
     plen = np.zeros(N, np.int32)
-    olen = np.asarray(out_lens, np.int32)
+    olen = np.zeros(N, np.int32)
+    olen[: len(streams)] = np.asarray(out_lens, np.int32)
     for i, s in enumerate(streams):
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
@@ -570,9 +568,10 @@ def decompress_units(streams, out_lens, unit_size=UNIT):
     out, err = _dec_for(unit_size)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
-    if np.asarray(err).any():
+    if np.asarray(err)[: len(streams)].any():
         raise DataError("Xpress: malformed unit stream")
     out = np.asarray(out)
     return [
-        out[i, : int(olen[i])].astype(np.uint8).tobytes() for i in range(N)
+        out[i, : int(olen[i])].astype(np.uint8).tobytes()
+        for i in range(len(streams))
     ]

@@ -13,6 +13,53 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_BIG = 1 << 29
+
+
+def fill_gather(data_keys, data_vals, query_keys):
+    """For each query key q (per row): value of the last data entry with
+    key <= q.  Data keys must be sorted per row; query keys may be in any
+    order (results return in query-column order).
+
+    Implementation: TPU has no hardware gather — XLA's emulation costs
+    ~10ns/element — but lax.sort is fast.  Merge data+queries with one
+    sort, forward-fill the last data value with a scan, then sort back by
+    query origin.  2 sorts + 1 scan total, independent of access pattern.
+
+    ``gather``: pass data_keys = iota, query_keys = indices for an exact
+    arbitrary gather.
+    """
+    N, P = data_keys.shape
+    U = query_keys.shape[1]
+    origin = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    # data sorts before queries at equal key: key*2 vs key*2+1
+    keys = jnp.concatenate([data_keys * 2, query_keys * 2 + 1], axis=1)
+    pay = jnp.concatenate([data_vals, origin], axis=1)
+    isq = jnp.concatenate(
+        [jnp.zeros((N, P), jnp.int32), jnp.ones((N, U), jnp.int32)], axis=1
+    )
+    _, pay_s, isq_s = lax.sort((keys, pay, isq), dimension=1, num_keys=1)
+
+    def fstep(last, xs):
+        payc, isqc = xs
+        last2 = jnp.where(isqc == 0, payc, last)
+        outk = jnp.where(isqc == 1, payc, _BIG)  # query origin, or sink
+        return last2, (outk, last2)
+
+    _, (ok_T, ov_T) = lax.scan(
+        fstep, jnp.zeros(N, jnp.int32), (pay_s.T, isq_s.T)
+    )
+    _, vals = lax.sort((ok_T.T, ov_T.T), dimension=1, num_keys=1)
+    return vals[:, :U]
+
+
+def gather_rows(data, idx):
+    """Exact per-row gather data[n, idx[n, j]] via fill_gather (sorts)."""
+    N, K = data.shape
+    keys = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
+    return fill_gather(keys, data, jnp.clip(idx, 0, K - 1))
+
+
 def searchsorted_rows(keys, queries, side="right", steps=None):
     """Row-wise binary search over per-row sorted ``keys``.
 
@@ -131,3 +178,77 @@ def run_matchlens(x, disps):
     zr = tuple(jnp.zeros(N, jnp.int32) for _ in eqs)
     _, runs_T = lax.scan(rev_step, zr, tuple(eqs), reverse=True)
     return [r.T for r in runs_T]
+
+
+# --------------------------------------------------------------------------
+# LZ copy resolution: windowed scan + tagged far pointers + sort rounds
+# --------------------------------------------------------------------------
+
+FAR_TAG = 1 << 24  # out-value tag: "pointer to earlier output position"
+RESOLVE_WINDOW = 256  # in-scan exact window (covers most real displacements)
+
+
+def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
+    """Resolve LZ77 copy chains without gathers.
+
+    Inputs are dense per-output-position arrays [N, U]: is_copy (bool),
+    disp (int32, valid where is_copy), litv (literal byte elsewhere).
+
+    Stage 1 — one forward scan over output positions carrying a circular
+    [N, window] buffer of the last ``window`` resolved values.  Processing
+    in position order means every source (near or far) is already FINAL:
+    near sources (d <= window) resolve via a one-hot select inside the
+    register window; far sources store a tagged pointer FAR_TAG|src, and
+    tags propagate unchanged through any near chain that copies them.
+    This stage alone fully resolves RLE/periodic chains of ANY depth
+    (their hops are small) — the classic pointer-doubling worst case.
+
+    Stage 2 — remaining tagged entries are shallow-but-far chains; iterate
+    sort-based gathers (fill_gather) until no tags remain.  Each round
+    shortens every far chain by >= 1 hop; real data converges in 0–2
+    rounds (the while_loop pays only what the batch needs).
+    """
+    N, U = is_copy.shape
+    W = window
+    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def step(win, xs):
+        iscp, d, lv, jj = xs
+        near = iscp & (d <= jnp.minimum(jj, W))
+        widx = jnp.where(near, (jj - d) % W, 0)
+        oh = widx[:, None] == iota_w
+        nearval = jnp.sum(jnp.where(oh, win, 0), axis=1)
+        farptr = FAR_TAG | jnp.maximum(jj - d, 0)
+        val = jnp.where(
+            iscp, jnp.where(near, nearval, farptr), lv
+        )
+        win2 = lax.dynamic_update_slice(win, val[:, None], (0, jj % W))
+        return win2, val
+
+    _, out_T = lax.scan(
+        step,
+        jnp.zeros((N, W), jnp.int32),
+        (is_copy.T, disp.T, litv.T, jnp.arange(U, dtype=jnp.int32)),
+    )
+    out = out_T.T
+
+    jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    # Valid streams: every far hop reaches > window back, so chains have
+    # <= U/(window+1) far hops.  Corrupt streams (err-flagged upstream)
+    # can form pointer cycles — the round cap guarantees termination;
+    # leftover tags are zeroed (the caller rejects the row via err).
+    max_rounds = U // (window + 1) + 2
+
+    def far_cond(state):
+        out, r = state
+        return jnp.any((out & FAR_TAG) != 0) & (r < max_rounds)
+
+    def far_round(state):
+        out, r = state
+        tagged = (out & FAR_TAG) != 0
+        tgt = jnp.where(tagged, out & (FAR_TAG - 1), jpos)
+        fetched = gather_rows(out, tgt)
+        return jnp.where(tagged, fetched, out), r + 1
+
+    out, _ = lax.while_loop(far_cond, far_round, (out, jnp.int32(0)))
+    return jnp.where((out & FAR_TAG) != 0, 0, out)

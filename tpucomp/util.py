@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Unit-batch rows are padded up to mult * 2^k bucket sizes: few distinct
+# shapes (bounded jit recompiles) and enough lanes to fill the VPU.
+# Tests set TPUCOMP_BATCH_MULTIPLE=8 to keep CPU simulation cheap.
+BATCH_MULTIPLE = int(os.environ.get("TPUCOMP_BATCH_MULTIPLE", "256"))
+
+
+def pad_batch(n: int, mult: int | None = None) -> int:
+    m = mult or BATCH_MULTIPLE
+    while m < n:
+        m *= 2
+    return m
 
 
 def bytes_to_rows(data: bytes, row_len: int, pad: int = 0) -> np.ndarray:
