@@ -1,0 +1,71 @@
+"""TPU Xpress-Huffman codec vs oracle — decode bit-compat first."""
+
+import pytest
+
+from tpucomp.codecs import xpress_huff as t_xh
+from tpucomp.oracle import xpress_huff as o_xh
+
+
+class TestDecodeBitCompat:
+    """TPU decode must accept any oracle (reference-semantics) stream."""
+
+    def test_decode_oracle_streams(self, corpus, rng):
+        cases = [
+            b"z",
+            b"hello world" * 10,
+            b"abc" * 700,
+            b"a" * 4096,
+            corpus(4096),
+            corpus(1000),
+            bytes(rng.randrange(256) for _ in range(2048)),
+            b"ab" * 1024,
+        ]
+        streams = [o_xh.compress(d) for d in cases]
+        out = t_xh.decompress_units(streams, [len(d) for d in cases])
+        for data, o in zip(cases, out):
+            assert o == data, len(data)
+
+    def test_decode_length_escapes(self):
+        # runs exercising: short (lh<15), byte escape, u16 escape
+        cases = [b"S" + b"T" * run for run in [10, 17, 18, 19, 270, 300, 3000]]
+        streams = [o_xh.compress(d) for d in cases]
+        out = t_xh.decompress_units(streams, [len(d) for d in cases])
+        for data, o in zip(cases, out):
+            assert o == data, len(data)
+
+    def test_decode_offsets_all_widths(self):
+        # matches at geometrically growing offsets exercise obc 0..12
+        pieces = [b"<<mark>>"]
+        gap = 1
+        while sum(map(len, pieces)) < 30000:
+            pieces.append(b"\xAA" * gap)
+            pieces.append(b"<<mark>>")
+            gap = gap * 2 + 3
+        data = b"".join(pieces)[:30000]
+        [s] = [o_xh.compress(data)]
+        [o] = t_xh.decompress_units([s], [len(data)])
+        assert o == data
+
+    def test_decode_full_block(self, corpus):
+        data = corpus(65536)
+        s = o_xh.compress(data)
+        [o] = t_xh.decompress_units([s], [len(data)])
+        assert o == data
+
+    def test_decode_skewed_table(self):
+        # single dominant symbol -> 1-bit code -> max substeps variant
+        data = b"\x00" * 60000 + b"variety" * 10
+        s = o_xh.compress(data)
+        [o] = t_xh.decompress_units([s], [len(data)])
+        assert o == data
+
+    def test_malformed_raises(self):
+        with pytest.raises(Exception):
+            t_xh.decompress_units([b"\x11" * 300], [5000])
+
+    def test_batch_mixed(self, corpus, rng):
+        cases = [corpus(n) for n in [100, 5000, 20000, 65536]]
+        streams = [o_xh.compress(d) for d in cases]
+        out = t_xh.decompress_units(streams, [len(d) for d in cases])
+        for data, o in zip(cases, out):
+            assert o == data, len(data)

@@ -1,0 +1,381 @@
+"""Xpress-Huffman TPU codec — block-parallel encode/decode in pure-JAX/XLA.
+
+Capability parity: reference ``src/xpress_huff_compress.cpp`` /
+``src/xpress_huff_decompress.cpp`` (SURVEY.md §2 row 5; mount unavailable —
+format per [MS-XCA] §2.1–2.2, SURVEY.md §8.3).
+
+Parallel model: each 64 KiB block carries its own Huffman table but block
+boundaries in a multi-block stream are only discoverable by decoding, so
+foreign multi-block streams take the sequential oracle path; the TPU path
+operates on batches of independent single-block units (this framework's
+archive manifests record unit boundaries — SURVEY.md §5 long-context
+note).  Every unit stream is a standard [MS-XCA] block, decodable by any
+conforming decoder.
+
+Decode: the 256-byte table prefix is unpacked vectorized; canonical
+decoding is ARITHMETIC (per-level first-code/limit/base-rank vectors from
+tpucomp.kernels.huffman) — no 32 K LUT.  A byte-per-step lockstep scan
+drives the bit window (two-u16 prime, refill-below-16 — [MS-XCA] §2.2.4
+discipline, refills interleave with escape bytes exactly as the spec
+reader does); each step decodes up to SUBSTEPS symbols, mapping canonical
+rank -> symbol through a one-hot select over the per-block [512] table
+(the only per-row "lookup"; small enough to be pure VPU arithmetic).
+Copy resolution reuses kernels.common.resolve_copies.
+
+Encode: shared match kernels; histogram by sort; device Huffman
+(two-queue + 15-bit repair + canonical); a layout scan reproduces the
+lazy-flush 16-bit-LE word writer bit-for-bit (word values/positions and
+interleaved escape bytes recovered gather-side with fill_gather).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import ArgError, DataError
+from ..util import pad_batch
+from ..kernels.common import (
+    capped_matchlen,
+    fill_gather,
+    hash_candidates,
+    le_words,
+    resolve_copies,
+    run_matchlens,
+)
+from ..kernels.huffman import (
+    MAX_CODE_LEN,
+    canonical_from_lengths,
+    huffman_code_lengths,
+    rank_to_symbol_table,
+)
+
+MIN_MATCH = 3
+BLOCK = 65536
+NUM_SYMBOLS = 512
+_COPY_BIT = 1 << 20
+
+
+def max_payload(u: int) -> int:
+    """Worst-case single-block payload: table + 2 bytes/input + slack."""
+    return 256 + 2 * u + 16
+
+
+def max_compressed_size(n: int) -> int:
+    nblocks = max(1, (n + BLOCK - 1) // BLOCK)
+    return nblocks * (256 + 8) + 2 * n + 4
+
+
+def _unpack_table(payload):
+    """payload [N, P] -> code lengths [N, 512] from the 256-byte prefix."""
+    tb = payload[:, :256]
+    lo = tb & 0xF
+    hi = (tb >> 4) & 0xF
+    return jnp.stack([lo, hi], axis=2).reshape(tb.shape[0], 512)
+
+
+# --------------------------------------------------------------------------
+# Decode
+# --------------------------------------------------------------------------
+
+# byte-role modes for the scan
+_M_W0 = 0  # next byte = low byte of a refill word
+_M_W1 = 1  # next byte = high byte of a refill word
+_M_EB = 2  # escape byte
+_M_E16A, _M_E16B = 3, 4
+_M_E32A, _M_E32B, _M_E32C, _M_E32D = 5, 6, 7, 8
+
+# pending-symbol states
+_P_NONE = 0
+_P_OFFSET = 1  # need obc offset bits (after refill)
+_P_ESC = 2  # need length-escape bytes (offset already read)
+
+
+def make_decoder(u: int, substeps: int = 5):
+    @jax.jit
+    def dec(payload, plen, out_len):
+        return _decode_impl(payload, plen, out_len, u, substeps)
+
+    return dec
+
+
+def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
+    N, P = payload.shape
+    lengths = _unpack_table(payload)
+    _, fc, br, lim = canonical_from_lengths(lengths)
+    sym_by_rank = rank_to_symbol_table(lengths)  # [N, 512]
+    iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
+    iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
+
+    body = payload[:, 256:]
+    bytes_T = body.T
+    steps = jnp.arange(P - 256, dtype=jnp.int32)
+    blen = plen - 256  # body length per row
+
+    def decode_symbol(bitbuf):
+        """Arithmetic canonical decode from the top 15 window bits.
+        Returns (sym, length) — valid only when a level matches."""
+        peek15 = (bitbuf >> 17) & 0x7FFF
+        # level l matches when fc[l] <= peek_l < lim[l], peek_l = top l bits
+        peek_l = peek15[:, None] >> (15 - iota16)  # [N, 16]
+        okl = (peek_l >= fc) & (peek_l < lim) & (iota16 > 0)
+        # first matching level
+        l = jnp.min(jnp.where(okl, iota16, 99), axis=1)
+        found = l <= MAX_CODE_LEN
+        lc = jnp.minimum(l, MAX_CODE_LEN)
+        # select fc/br at level lc (one-hot over 16)
+        ohl = lc[:, None] == iota16
+        fc_l = jnp.sum(jnp.where(ohl, fc, 0), axis=1)
+        br_l = jnp.sum(jnp.where(ohl, br, 0), axis=1)
+        peek_lc = jnp.sum(jnp.where(ohl, peek_l, 0), axis=1)
+        rank = br_l + (peek_lc - fc_l)
+        # rank -> symbol (one-hot over 512)
+        ohr = rank[:, None] == iota512
+        sym = jnp.sum(jnp.where(ohr, sym_by_rank, 0), axis=1)
+        return sym, lc, found
+
+    def step(carry, xs):
+        (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
+         len_acc, rpos, rval, err) = carry
+        b, s = xs
+        active = (s < blen) & (p < out_len)
+
+        # ---- byte role ----
+        is_w0 = active & (mode == _M_W0)
+        is_w1 = active & (mode == _M_W1)
+        is_eb = active & (mode == _M_EB)
+        is_e16a = active & (mode == _M_E16A)
+        is_e16b = active & (mode == _M_E16B)
+        is_e32 = active & (mode >= _M_E32A)
+        is_e32d = active & (mode == _M_E32D)
+
+        lowbyte = jnp.where(is_w0, b, lowbyte)
+        # escape u16/u32 accumulation
+        len_acc = jnp.where(
+            is_e16a | (active & (mode == _M_E32A)), b,
+            jnp.where(
+                active & (mode == _M_E32B), len_acc | (b << 8),
+                jnp.where(
+                    active & (mode == _M_E32C), len_acc | (b << 16),
+                    len_acc,
+                ),
+            ),
+        )
+
+        # word refill completes on W1
+        word = lowbyte | (b << 8)
+        bitbuf = jnp.where(
+            is_w1, bitbuf | (word << (16 - bitcount)), bitbuf
+        )
+        bitcount = jnp.where(is_w1, bitcount + 16, bitcount)
+
+        # ---- escape completions (produce a finished match) ----
+        eb_done = is_eb & (b < 255)
+        eb_more = is_eb & (b == 255)
+        u16v = len_acc | (b << 8)
+        e16_zero = is_e16b & (u16v == 0)
+        e16_done = is_e16b & (u16v != 0)
+        u32v = len_acc | (b << 24)
+        e32_done = is_e32d
+        esc_len = jnp.where(
+            eb_done, b + 15 + MIN_MATCH,
+            jnp.where(e16_done, u16v + MIN_MATCH, u32v + MIN_MATCH),
+        )
+        esc_match = eb_done | e16_done | e32_done
+        err = err | (esc_match & ((off_p > p) | (p + esc_len > out_len)))
+        rpos = jnp.where(esc_match, p, rpos)
+        rval = jnp.where(esc_match, _COPY_BIT | off_p, rval)
+        p = jnp.where(esc_match, jnp.minimum(p + esc_len, U), p)
+
+        mode = jnp.where(
+            is_w0, _M_W1,
+            jnp.where(
+                eb_more, _M_E16A,
+                jnp.where(
+                    is_e16a, _M_E16B,
+                    jnp.where(
+                        e16_zero, _M_E32A,
+                        jnp.where(
+                            is_e32 & ~is_e32d, mode + 1,
+                            _M_W0,  # provisional; overridden below
+                        ),
+                    ),
+                ),
+            ),
+        )
+        pend = jnp.where(esc_match, _P_NONE, pend)
+
+        # ---- symbol sub-loop after a completed refill / escape ----
+        # The 32-bit prime: no decoding until the second word (s >= 3),
+        # mirroring the spec reader ([MS-XCA] §2.2.4) so early escape
+        # bytes land after the 4-byte prime.
+        can_work = active & (esc_match | (is_w1 & (s >= 3)))
+        work = can_work
+        # snapshot after EVERY record-producing point: the pre-loop escape
+        # completion, each substep's offset-completion, and each substep's
+        # symbol decode — a later record must never overwrite an earlier
+        # one before it is captured.
+        recs = [(rpos, rval)]
+        for _ in range(SUBSTEPS):
+            # 1) pending offset bits
+            do_off = work & (pend == _P_OFFSET) & (bitcount >= obc_p)
+            obc_c = jnp.maximum(obc_p, 1)
+            raw = (bitbuf >> (32 - obc_c)) & (jnp.left_shift(1, obc_c) - 1)
+            raw = jnp.where(obc_p > 0, raw, 0)
+            offv = jnp.left_shift(1, obc_p) | raw
+            bitbuf = jnp.where(do_off, bitbuf << obc_p, bitbuf)
+            bitcount = jnp.where(do_off, bitcount - obc_p, bitcount)
+            short = do_off & (lh_p < 15)
+            mlen = lh_p + MIN_MATCH
+            err = err | (short & ((offv > p) | (p + mlen > out_len)))
+            rpos = jnp.where(short, p, rpos)
+            rval = jnp.where(short, _COPY_BIT | offv, rval)
+            p = jnp.where(short, jnp.minimum(p + mlen, U), p)
+            off_p = jnp.where(do_off, offv, off_p)
+            pend = jnp.where(short, _P_NONE, jnp.where(do_off, _P_ESC, pend))
+            recs.append((rpos, rval))
+            # 2) fresh symbol
+            do_sym = work & (pend == _P_NONE) & (bitcount >= 16) & (p < out_len)
+            sym, slen, found = decode_symbol(bitbuf)
+            do_sym = do_sym & found
+            bitbuf = jnp.where(do_sym, bitbuf << slen, bitbuf)
+            bitcount = jnp.where(do_sym, bitcount - slen, bitcount)
+            is_lit = do_sym & (sym < 256)
+            rpos = jnp.where(is_lit, p, rpos)
+            rval = jnp.where(is_lit, sym, rval)
+            p = jnp.where(is_lit, p + 1, p)
+            is_m = do_sym & (sym >= 256)
+            m = sym - 256
+            obc_p = jnp.where(is_m, m >> 4, obc_p)
+            lh_p = jnp.where(is_m, m & 0xF, lh_p)
+            pend = jnp.where(is_m, _P_OFFSET, pend)
+            work = work & (p < out_len)
+            recs.append((rpos, rval))
+
+        # SUBSTEPS must cover every symbol completable from one refill;
+        # if decodable state remains, the next byte would be mis-consumed
+        # as a refill word — flag rather than desync (host picks SUBSTEPS
+        # from the table's min code length, so valid streams never hit
+        # this).
+        leftover = (
+            can_work
+            & (p < out_len)
+            & (
+                ((pend == _P_NONE) & (bitcount >= 16))
+                | ((pend == _P_OFFSET) & (bitcount >= obc_p))
+            )
+        )
+        err = err | leftover
+
+        need_refill = bitcount < 16
+        mode = jnp.where(
+            can_work,
+            jnp.where((pend == _P_ESC) & ~need_refill, _M_EB, _M_W0),
+            mode,
+        )
+
+        rec_pos_s = jnp.stack([r[0] for r in recs], axis=1)  # [N, SUBSTEPS]
+        rec_val_s = jnp.stack([r[1] for r in recs], axis=1)
+        return (
+            (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
+             len_acc, rpos, rval, err),
+            (rec_pos_s, rec_val_s),
+        )
+
+    z = jnp.zeros(N, jnp.int32)
+    init = (
+        z,  # p
+        z,  # mode = _M_W0 (prime: first 4 body bytes are two words)
+        z,  # pend
+        z,  # bitbuf
+        z,  # bitcount
+        z,  # lowbyte
+        z,  # obc_p
+        z,  # lh_p
+        z,  # off_p
+        z,  # len_acc
+        jnp.full((N,), -1, jnp.int32),  # rpos
+        z,  # rval
+        jnp.zeros(N, jnp.bool_),  # err
+    )
+    carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
+    p_final = carry[0]
+    err = carry[-1] | (p_final < out_len)
+
+    # [steps, N, NREC] -> [N, steps*NREC], chronological + monotone
+    S, _, NREC = rec_pos_T.shape
+    rec_pos = rec_pos_T.transpose(1, 0, 2).reshape(N, S * NREC)
+    rec_val = rec_val_T.transpose(1, 0, 2).reshape(N, S * NREC)
+    j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    vpack = fill_gather(rec_pos, rec_val, j)
+    is_copy_j = (vpack & _COPY_BIT) != 0
+    disp_j = vpack & (_COPY_BIT - 1)
+    litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
+    out = resolve_copies(is_copy_j, disp_j, litv)
+    out = jnp.where(j < out_len[:, None], out, 0)
+    return out, err
+
+
+# --------------------------------------------------------------------------
+# Host wrappers
+# --------------------------------------------------------------------------
+
+_DECODERS = {}
+
+
+def _dec_for(u, substeps):
+    key = (u, substeps)
+    if key not in _DECODERS:
+        _DECODERS[key] = make_decoder(u, substeps)
+    return _DECODERS[key]
+
+
+def _min_code_len(streams):
+    """Smallest code length used across the blocks' tables (host peek)."""
+    m = 15
+    for s in streams:
+        tb = np.frombuffer(s[:256], np.uint8)
+        lens = np.concatenate([tb & 0xF, tb >> 4])
+        used = lens[lens > 0]
+        if used.size:
+            m = min(m, int(used.min()))
+    return m
+
+
+def decompress_units(streams, out_lens, unit_size=BLOCK):
+    """Decompress a batch of independent single-block XH streams."""
+    if not streams:
+        return []
+    N = pad_batch(len(streams))
+    # scan length = padded payload width; bucket to the batch's real max
+    # (power-of-two body) so typical batches don't pay the 2x worst case
+    max_body = max(len(s) for s in streams) - 256
+    body_bucket = 1024
+    while body_bucket < max_body:
+        body_bucket *= 2
+    P = min(max_payload(unit_size), 256 + body_bucket + 16)
+    payload = np.zeros((N, P), np.int32)
+    plen = np.zeros(N, np.int32)
+    olen = np.zeros(N, np.int32)
+    olen[: len(streams)] = np.asarray(out_lens, np.int32)
+    for i, s in enumerate(streams):
+        a = np.frombuffer(s, np.uint8)
+        payload[i, : len(a)] = a
+        plen[i] = len(a)
+    mcl = _min_code_len(streams)
+    # one refill adds 16 bits; substeps must cover every symbol+offset
+    # completable before the next refill: ceil(16/min_len) + 1
+    substeps = -(-16 // max(mcl, 1)) + 1
+    out, err = _dec_for(unit_size, substeps)(
+        jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
+    )
+    if np.asarray(err)[: len(streams)].any():
+        raise DataError("XpressHuff: malformed unit stream")
+    out = np.asarray(out)
+    return [
+        out[i, : int(olen[i])].astype(np.uint8).tobytes()
+        for i in range(len(streams))
+    ]
