@@ -69,3 +69,48 @@ class TestDecodeBitCompat:
         out = t_xh.decompress_units(streams, [len(d) for d in cases])
         for data, o in zip(cases, out):
             assert o == data, len(data)
+
+
+class TestEncodeValidity:
+    """Oracle must decode TPU-encoded XH unit streams byte-exactly."""
+
+    def test_oracle_decodes_tpu_units(self, corpus, rng):
+        cases = [
+            b"z",
+            b"hello world" * 10,
+            b"abc" * 700,
+            b"a" * 4096,
+            corpus(4096),
+            corpus(1000),
+            bytes(rng.randrange(256) for _ in range(2048)),
+        ]
+        streams = t_xh.compress_units(cases, unit_size=4096)
+        from tpucomp.oracle import xpress_huff as oxh
+        for data, s in zip(cases, streams):
+            assert oxh.decompress(s, len(data)) == data, len(data)
+
+    def test_length_escape_emission(self):
+        cases = [b"S" + b"T" * run for run in [10, 17, 18, 19, 270, 300, 3000]]
+        streams = t_xh.compress_units(cases, unit_size=4096)
+        from tpucomp.oracle import xpress_huff as oxh
+        for data, s in zip(cases, streams):
+            assert oxh.decompress(s, len(data)) == data, len(data)
+
+    def test_self_roundtrip(self, corpus):
+        data = corpus(30000)
+        us = [data[i:i+8192] for i in range(0, len(data), 8192)]
+        streams = t_xh.compress_units(us, unit_size=8192)
+        out = t_xh.decompress_units(streams, [len(u) for u in us], unit_size=8192)
+        assert b"".join(out) == data
+
+    def test_size_within_bound(self, rng):
+        data = bytes(rng.randrange(256) for _ in range(4096))
+        [s] = t_xh.compress_units([data], unit_size=4096)
+        assert len(s) <= t_xh.max_compressed_size(len(data))
+
+    def test_ratio_close_to_oracle(self, corpus):
+        data = corpus(16384)
+        [s] = t_xh.compress_units([data], unit_size=16384)
+        from tpucomp.oracle import xpress_huff as oxh
+        s_o = oxh.compress(data)
+        assert len(s) <= len(s_o) * 1.2, (len(s), len(s_o))

@@ -320,8 +320,268 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
 
 
 # --------------------------------------------------------------------------
+# Encode
+# --------------------------------------------------------------------------
+
+_RUN_DISPS = (1, 2, 3)
+
+
+def make_encoder(u: int):
+    @jax.jit
+    def enc(units, ulen):
+        return _encode_impl(units, ulen, u)
+
+    return enc
+
+
+def _encode_impl(units, ulen, U):
+    """Encode [N, U] blocks (U <= 65536) into single-block XH payloads.
+
+    Stages: match-find + greedy commit -> per-position symbols ->
+    histogram (sort) -> device Huffman + canonical codes -> layout scan
+    reproducing the lazy-flush 16-bit-LE word writer -> gather-side byte
+    assembly.  No scatters, no hardware gathers (see kernels.common).
+    """
+    N, n = units.shape
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
+    in_len = ulen[:, None]
+
+    # ---- candidates (window = whole block, [MS-XCA] §2.1) ----
+    best_len = jnp.zeros((N, n), jnp.int32)
+    best_disp = jnp.ones((N, n), jnp.int32)
+
+    def consider(length, disp, cond):
+        nonlocal best_len, best_disp
+        better = cond & (length > best_len)
+        best_len = jnp.where(better, length, best_len)
+        best_disp = jnp.where(better, disp, best_disp)
+
+    for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
+        consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
+    w = le_words(units)
+    for cand in hash_candidates(units):
+        disp = pos - cand
+        valid = cand >= 0
+        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n)
+        consider(ml, disp, valid & (ml >= MIN_MATCH))
+
+    best_len = jnp.minimum(best_len, in_len - pos)
+    is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
+
+    # ---- greedy commit scan ----
+    def commit_step(nc, xs):
+        pcol, blen, ismatch, okpos = xs
+        commit = (pcol == nc) & okpos
+        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, blen, 1), nc)
+        return nc2, commit
+
+    _, committed_T = lax.scan(
+        commit_step,
+        jnp.zeros(N, jnp.int32),
+        (pos.T, best_len.T, is_match.T, (pos < in_len).T),
+    )
+    committed = committed_T.T
+    tok_copy = committed & is_match
+
+    # ---- per-position symbols ----
+    L = best_len - MIN_MATCH
+    obc = 31 - lax.clz(jnp.maximum(best_disp, 1))
+    lh = jnp.minimum(L, 15)
+    sym = jnp.where(
+        tok_copy, 256 | (obc << 4) | lh, units
+    )
+    sym = jnp.where(committed, sym, NUM_SYMBOLS)  # sentinel for histogram
+
+    # ---- histogram by sort ----
+    sym_sorted = jnp.sort(sym, axis=1)
+    rank1 = jnp.broadcast_to(
+        jnp.arange(1, n + 1, dtype=jnp.int32)[None, :], (N, n)
+    )
+    s_iota = jnp.broadcast_to(
+        jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :], (N, NUM_SYMBOLS)
+    )
+    cnt_le = fill_gather(sym_sorted, rank1, s_iota)
+    freqs = cnt_le - jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32), cnt_le[:, :-1]], axis=1
+    )
+
+    # ---- Huffman lengths + canonical codes ----
+    lengths = huffman_code_lengths(freqs)
+    codes, _, _, _ = canonical_from_lengths(lengths)
+
+    # ---- per-position (code, len) lookup ----
+    packed_tbl = (codes << 5) | lengths  # code<=15 bits, len<=15
+    codelen_p = fill_gather(
+        s_iota, packed_tbl, jnp.minimum(sym, NUM_SYMBOLS - 1)
+    )
+    code_p = codelen_p >> 5
+    clen_p = codelen_p & 0x1F
+
+    # ---- layout scan: lazy-flush 16-bit-LE word writer ----
+    offraw = best_disp & (jnp.left_shift(1, obc) - 1)
+    rem = L - 15
+    has_esc = tok_copy & (lh == 15)
+    esc_big = has_esc & (rem >= 255)
+    nraw = jnp.where(has_esc, jnp.where(esc_big, 3, 1), 0)
+    esc_b0 = jnp.where(esc_big, 255, jnp.maximum(rem, 0))
+    # u16 escape value = L (always < 0x10000 for U <= 65536)
+    esc_pack = esc_b0 | ((L & 0xFF) << 8) | (((L >> 8) & 0xFF) << 16)
+
+    def lay_step(carry, xs):
+        bitbuf, bitcount, flushes, rawb = carry
+        (com, iscp, codec, lenc, obcc, rawv, nr, epack) = xs
+
+        def wflush(bitbuf, bitcount, flushes, nbits, val, en):
+            bitbuf2 = jnp.where(en, (bitbuf << nbits) | val, bitbuf)
+            bitcount2 = jnp.where(en, bitcount + nbits, bitcount)
+            do = en & (bitcount2 > 16)
+            wv = jnp.where(
+                do, (bitbuf2 >> (bitcount2 - 16)) & 0xFFFF, 0
+            )
+            bitcount3 = jnp.where(do, bitcount2 - 16, bitcount2)
+            flushes2 = flushes + do.astype(jnp.int32)
+            return bitbuf2, bitcount3, flushes2, do, wv
+
+        # sub-write A: huffman code
+        bitbuf, bitcount, flushes, doA, wvA = wflush(
+            bitbuf, bitcount, flushes, lenc, codec, com
+        )
+        rawbA = rawb
+        # sub-write B: offset raw bits
+        bitbuf, bitcount, flushes, doB, wvB = wflush(
+            bitbuf, bitcount, flushes, obcc, rawv, iscp
+        )
+        # raw escape bytes
+        raw_start = 2 * (2 + flushes) + rawb
+        rawb = rawb + jnp.where(com & iscp, nr, 0)
+        return (bitbuf, bitcount, flushes, rawb), (
+            doA, wvA, rawbA, doB, wvB, rawbA, com & iscp & (nr > 0),
+            raw_start, nr, epack,
+        )
+
+    z = jnp.zeros(N, jnp.int32)
+    xs = (
+        committed.T,
+        tok_copy.T,
+        code_p.T,
+        clen_p.T,
+        jnp.where(tok_copy, obc, 0).T,
+        jnp.where(tok_copy, offraw, 0).T,
+        nraw.T,
+        esc_pack.T,
+    )
+    (bitbuf_f, bitcount_f, flushes_f, raw_f), ys = lax.scan(
+        lay_step, (z, z, z, z), xs
+    )
+    (doA_T, wvA_T, rbA_T, doB_T, wvB_T, rbB_T, hasraw_T, rstart_T,
+     nr_T, epack_T) = ys
+
+    # ---- dense word table: word index -> (value, raw_before) ----
+    # word events in order: A then B within a step; word index = running
+    # flush count.  Rebuild indices via cumsum over the flattened events.
+    def evt_flat(a_T, b_T):
+        # [steps, N] x2 -> [N, 2*steps] interleaved A,B chronologically
+        a = a_T.T
+        b = b_T.T
+        return jnp.stack([a, b], axis=2).reshape(N, -1)
+
+    ev_do = evt_flat(doA_T.astype(jnp.int32), doB_T.astype(jnp.int32))
+    ev_wv = evt_flat(wvA_T, wvB_T)
+    ev_rb = evt_flat(rbA_T, rbB_T)
+    ev_idx = jnp.cumsum(ev_do, axis=1) - 1  # word index per event
+    ev_key = jnp.where(ev_do == 1, ev_idx, 1 << 28)
+    # final partial word (flush remainder) as one more event
+    part_val = jnp.where(
+        bitcount_f > 0,
+        (bitbuf_f << (16 - bitcount_f)) & 0xFFFF,
+        0,
+    )
+    ev_key = jnp.concatenate([ev_key, flushes_f[:, None]], axis=1)
+    ev_wv = jnp.concatenate([ev_wv, part_val[:, None]], axis=1)
+    ev_rb = jnp.concatenate([ev_rb, raw_f[:, None]], axis=1)
+    # keys must be sorted for fill_gather: events are chronological =
+    # word-index ascending; the appended partial has the largest index ✓
+    WMAX = n + n // 4  # bound on word count (≈ bits/16 <= 30n/16… safe)
+    wq = jnp.broadcast_to(jnp.arange(WMAX, dtype=jnp.int32)[None, :], (N, WMAX))
+    wval, wraw = fill_gather(ev_key, (ev_wv, ev_rb), wq)
+    nwords = flushes_f + (bitcount_f > 0).astype(jnp.int32)
+    # reserved-but-unwritten slots hold zeros (like the oracle writer)
+    wval = jnp.where(wq < nwords[:, None], wval, 0)
+    # slot byte position (body-relative): j<2 -> 2j; else 4+2(j-2)+raw@(j-2)
+    wraw_shift = jnp.concatenate(
+        [jnp.zeros((N, 2), jnp.int32), wraw[:, :-2]], axis=1
+    )
+    wpos = jnp.where(
+        wq < 2, 2 * wq, 4 + 2 * (wq - 2) + wraw_shift
+    )
+    slots_total = 2 + flushes_f
+
+    # ---- dense raw-record table keyed by start position ----
+    has_raw = hasraw_T.T
+    r_key = jnp.where(has_raw, rstart_T.T, 1 << 28)
+
+    # ---- byte assembly ----
+    body_len = 2 * slots_total + raw_f
+    PB = 2 * n + 16  # body capacity
+    bq = jnp.broadcast_to(jnp.arange(PB, dtype=jnp.int32)[None, :], (N, PB))
+    # word membership: last word slot position <= b
+    wslot_key = jnp.where(wq < jnp.maximum(slots_total, 2)[:, None], wpos, 1 << 28)
+    wv_b, wpos_b = fill_gather(wslot_key, (wval, wpos), bq)
+    in_word = (bq - wpos_b >= 0) & (bq - wpos_b < 2)
+    word_byte = (wv_b >> ((bq - wpos_b) * 8)) & 0xFF
+    # raw membership
+    rs_b, rc_b, rp_b = fill_gather(r_key, (rstart_T.T, nr_T.T, epack_T.T), bq)
+    dr = bq - rs_b
+    in_raw = (dr >= 0) & (dr < rc_b)
+    raw_byte = (rp_b >> (jnp.minimum(dr, 3) * 8)) & 0xFF
+    body = jnp.where(in_word, word_byte, jnp.where(in_raw, raw_byte, 0))
+    body = jnp.where(bq < body_len[:, None], body, 0)
+
+    # ---- table prefix ----
+    tlo = lengths[:, 0::2]
+    thi = lengths[:, 1::2]
+    table = tlo | (thi << 4)  # [N, 256]
+
+    payload = jnp.concatenate([table, body], axis=1)
+    plen = 256 + body_len
+    return payload, plen
+
+
+# --------------------------------------------------------------------------
 # Host wrappers
 # --------------------------------------------------------------------------
+
+_ENCODERS = {}
+
+
+def _enc_for(u):
+    if u not in _ENCODERS:
+        _ENCODERS[u] = make_encoder(u)
+    return _ENCODERS[u]
+
+
+def compress_units(units_data, unit_size=BLOCK):
+    """Compress byte units (each <= unit_size <= 64 KiB) as independent
+    single-block XH streams (one batch call)."""
+    if not units_data:
+        return []
+    N = pad_batch(len(units_data))
+    units = np.zeros((N, unit_size), np.int32)
+    ulen = np.zeros(N, np.int32)
+    for i, ud in enumerate(units_data):
+        a = np.frombuffer(ud, np.uint8)
+        if len(a) > unit_size:
+            raise ArgError("unit larger than unit_size")
+        units[i, : len(a)] = a
+        ulen[i] = len(a)
+    payload, plen = _enc_for(unit_size)(jnp.asarray(units), jnp.asarray(ulen))
+    payload = np.asarray(payload)
+    plen = np.asarray(plen)
+    return [
+        payload[i, : int(plen[i])].astype(np.uint8).tobytes()
+        for i in range(len(units_data))
+    ]
+
 
 _DECODERS = {}
 

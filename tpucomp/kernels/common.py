@@ -27,30 +27,45 @@ def fill_gather(data_keys, data_vals, query_keys):
     query origin.  2 sorts + 1 scan total, independent of access pattern.
 
     ``gather``: pass data_keys = iota, query_keys = indices for an exact
-    arbitrary gather.
+    arbitrary gather.  ``data_vals`` may be a tuple of arrays (all filled
+    by the same keys); a tuple is returned then.
     """
+    single = not isinstance(data_vals, (tuple, list))
+    vals_in = (data_vals,) if single else tuple(data_vals)
     N, P = data_keys.shape
     U = query_keys.shape[1]
     origin = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     # data sorts before queries at equal key: key*2 vs key*2+1
     keys = jnp.concatenate([data_keys * 2, query_keys * 2 + 1], axis=1)
-    pay = jnp.concatenate([data_vals, origin], axis=1)
+    zq = jnp.zeros((N, U), jnp.int32)
+    pays = [jnp.concatenate([v, zq], axis=1) for v in vals_in]
+    org = jnp.concatenate([jnp.zeros((N, P), jnp.int32), origin], axis=1)
     isq = jnp.concatenate(
         [jnp.zeros((N, P), jnp.int32), jnp.ones((N, U), jnp.int32)], axis=1
     )
-    _, pay_s, isq_s = lax.sort((keys, pay, isq), dimension=1, num_keys=1)
+    sorted_ops = lax.sort((keys, org, isq, *pays), dimension=1, num_keys=1)
+    org_s, isq_s = sorted_ops[1], sorted_ops[2]
+    pays_s = sorted_ops[3:]
 
     def fstep(last, xs):
-        payc, isqc = xs
-        last2 = jnp.where(isqc == 0, payc, last)
-        outk = jnp.where(isqc == 1, payc, _BIG)  # query origin, or sink
-        return last2, (outk, last2)
+        isqc, orgc = xs[0], xs[1]
+        cols = xs[2:]
+        last2 = tuple(
+            jnp.where(isqc == 0, cols[i], last[i]) for i in range(len(cols))
+        )
+        outk = jnp.where(isqc == 1, orgc, _BIG)  # query origin, or sink
+        return last2, (outk, *last2)
 
-    _, (ok_T, ov_T) = lax.scan(
-        fstep, jnp.zeros(N, jnp.int32), (pay_s.T, isq_s.T)
+    init = tuple(jnp.zeros(N, jnp.int32) for _ in vals_in)
+    _, ys = lax.scan(
+        fstep, init, (isq_s.T, org_s.T, *[p.T for p in pays_s])
     )
-    _, vals = lax.sort((ok_T.T, ov_T.T), dimension=1, num_keys=1)
-    return vals[:, :U]
+    ok_T = ys[0]
+    back = lax.sort(
+        (ok_T.T, *[v.T for v in ys[1:]]), dimension=1, num_keys=1
+    )
+    outs = tuple(v[:, :U] for v in back[1:])
+    return outs[0] if single else outs
 
 
 def gather_rows(data, idx):
