@@ -1,19 +1,16 @@
 #!/usr/bin/env python
 """Benchmark entry point: prints ONE JSON line.
 
-Headline metric (BASELINE.md): GB/s/chip decode on a Silesia-like corpus,
-vs the 1 GB/s/chip north-star baseline.
+Headline metric (BASELINE.md / BASELINE.json): GB/s/chip decode over the
+two north-star formats (LZNT1 + Xpress-Huffman) on a Silesia-like corpus,
+vs the 1 GB/s/chip target.
 
-Measurement methodology — the dev chip is reached through a network
-tunnel whose runtime (a) elides repeated identical dispatches and (b)
-acknowledges before completion, so naive rep loops measure nothing.
-Reps are therefore CHAINED on device: each iteration's inputs carry a
-data dependency on the previous iteration's outputs (a zero-valued salt
-derived from them), with a single sync at the end.  This measures true
-device-resident kernel throughput — the production configuration, where
-compressed/uncompressed batches stream device-side (host transfers
-through this tunnel run at ~15 MB/s and would swamp any kernel; on a
-production-attached v5p PCIe/ICI feeds are orders of magnitude faster).
+Methodology: the dev chip is reached through a network tunnel whose
+runtime elides repeated identical dispatches and has ~35 ms dispatch RTT,
+so reps are chained INSIDE one jitted program (lax.fori_loop whose carry
+perturbs the next iteration's inputs by a zero-valued, data-dependent
+salt).  One dispatch + one sync measures REPS true device executions.
+Correctness is gated before timing (full round-trip against the input).
 """
 
 import json
@@ -25,7 +22,31 @@ import numpy as np
 sys.path.insert(0, ".")
 
 CORPUS_MB = 8
-BASELINE_GBPS = 1.0  # north star: >= 1 GB/s/chip decode (BASELINE.md)
+REPS = 16
+BASELINE_GBPS = 1.0
+
+
+def chained(fn, args, reps=REPS):
+    """Build+run fn chained `reps` times in one dispatch; return s/rep."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(*a):
+        def body(i, s):
+            outs = fn(*a, s)
+            return jnp.min(outs) * 0
+
+        return lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    r = run(*args)
+    r.block_until_ready()
+    _ = np.asarray(r)  # force full completion through the tunnel
+    t0 = time.perf_counter()
+    r = run(*args)
+    _ = np.asarray(r)
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -36,92 +57,121 @@ def main():
     import jax.numpy as jnp
 
     from benchmarks.corpus import silesia_like
-    from tpucomp.codecs import lznt1 as codec
+    from tpucomp.codecs import lznt1 as lz
+    from tpucomp.codecs import xpress_huff as xh
     from tpucomp.codecs.lznt1_expose import decode_batch_impl, encode_batch_impl
 
     data = silesia_like(CORPUS_MB << 20)
+    nbytes = len(data)
+    extras = {"corpus_mb": CORPUS_MB, "device": str(jax.devices()[0])}
 
-    nchunks = -(-len(data) // codec.CHUNK)
+    # ================= LZNT1 =================
+    nchunks = -(-nbytes // lz.CHUNK)
     N = max(256, -(-nchunks // 256) * 256)
-    chunks = np.zeros((N, codec.CHUNK), np.int32)
+    chunks = np.zeros((N, lz.CHUNK), np.int32)
     clen = np.zeros(N, np.int32)
     arr = np.frombuffer(data, np.uint8)
     flat = chunks[:nchunks].reshape(-1)
     flat[: len(arr)] = arr
-    chunks[:nchunks] = flat.reshape(nchunks, codec.CHUNK)
-    clen[:nchunks] = np.minimum(len(arr) - np.arange(nchunks) * codec.CHUNK, codec.CHUNK)
-    d_chunks = jnp.asarray(chunks)
-    d_clen = jnp.asarray(clen)
+    chunks[:nchunks] = flat.reshape(nchunks, lz.CHUNK)
+    clen[:nchunks] = np.minimum(nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK)
+    d_chunks, d_clen = jnp.asarray(chunks), jnp.asarray(clen)
 
-    # chained wrappers: `salt` is always 0 but data-depends on the previous
-    # iteration, defeating dispatch elision without changing semantics
-    enc = jax.jit(lambda c, l, salt: encode_batch_impl(c, l + salt))
-    dec = jax.jit(lambda p, l, ic, salt: decode_batch_impl(p, l + salt, ic))
-
-    # --- encode ---
-    salt = jnp.int32(0)
-    payload, plen = enc(d_chunks, d_clen, salt)
+    payload, plen = lz.encode_batch(d_chunks, d_clen)
     jax.block_until_ready((payload, plen))
-    t0 = time.perf_counter()
-    REPS_E = 20
-    for _ in range(REPS_E):
-        payload, plen = enc(d_chunks, d_clen, salt)
-        salt = jnp.min(plen) * 0
-    jax.block_until_ready((payload, plen, salt))
-    enc_gbps = (len(data) * REPS_E / (time.perf_counter() - t0)) / 1e9
+    t_enc_lz = chained(
+        lambda c, l, s: encode_batch_impl(c, l + s)[1], (d_chunks, d_clen)
+    )
 
-    # --- build decode batch from the encoded payloads (host, untimed) ---
-    payload_h = np.asarray(payload)
-    plen_h = np.asarray(plen)
-    dec_payload = np.zeros((N, codec.PAYLOAD_PAD), np.int32)
-    dec_plen = np.zeros(N, np.int32)
-    dec_comp = np.zeros(N, bool)
+    payload_h, plen_h = np.asarray(payload), np.asarray(plen)
+    dp = np.zeros((N, lz.PAYLOAD_PAD), np.int32)
+    dl = np.zeros(N, np.int32)
+    dc = np.zeros(N, bool)
+    comp_bytes = 2 * nchunks
     for k in range(nchunks):
         pl, cl = int(plen_h[k]), int(clen[k])
         if pl < cl:
-            dec_payload[k, :pl] = payload_h[k, :pl]
-            dec_plen[k] = pl
-            dec_comp[k] = True
+            dp[k, :pl] = payload_h[k, :pl]
+            dl[k] = pl
+            dc[k] = True
+            comp_bytes += pl
         else:
-            dec_payload[k, :cl] = chunks[k, :cl]
-            dec_plen[k] = cl
-    comp_bytes = int(2 * nchunks + sum(min(int(plen_h[k]), int(clen[k])) for k in range(nchunks)))
-    d_payload = jnp.asarray(dec_payload)
-    d_plen = jnp.asarray(dec_plen)
-    d_comp = jnp.asarray(dec_comp)
+            dp[k, :cl] = chunks[k, :cl]
+            dl[k] = cl
+            comp_bytes += cl
+    d_dp, d_dl, d_dc = jnp.asarray(dp), jnp.asarray(dl), jnp.asarray(dc)
 
-    # correctness gate (untimed)
-    salt = jnp.int32(0)
-    out, out_lens, err = dec(d_payload, d_plen, d_comp, salt)
+    out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
     jax.block_until_ready(out)
     assert not np.asarray(err)[:nchunks].any()
     got = np.asarray(out)[:nchunks].astype(np.uint8)
     ol = np.asarray(out_lens)
     recon = b"".join(got[i, : int(ol[i])].tobytes() for i in range(nchunks))
-    assert recon == data, "decode mismatch"
+    assert recon == data, "lznt1 decode mismatch"
+    t_dec_lz = chained(
+        lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], (d_dp, d_dl, d_dc)
+    )
+    extras["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
+    extras["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
+    extras["lznt1_ratio"] = round(comp_bytes / nbytes, 4)
 
-    # --- decode (chained) ---
-    t0 = time.perf_counter()
-    REPS_D = 20
-    for _ in range(REPS_D):
-        out, out_lens, err = dec(d_payload, d_plen, d_comp, salt)
-        salt = jnp.min(out_lens) * 0
-    jax.block_until_ready((out, salt))
-    dec_gbps = (len(data) * REPS_D / (time.perf_counter() - t0)) / 1e9
+    # ================= Xpress Huffman =================
+    U = xh.BLOCK
+    units = [data[i : i + U] for i in range(0, nbytes, U)]
+    streams = xh.compress_units(units)  # device encode (also decode input)
+    xh_bytes = sum(len(s) for s in streams)
+    out_parts = xh.decompress_units(streams, [len(u) for u in units])
+    assert b"".join(out_parts) == data, "xh roundtrip mismatch"
+    extras["xh_ratio"] = round(xh_bytes / nbytes, 4)
 
+    # timed encode
+    NB = max(8, len(units))
+    ub = np.zeros((NB, U), np.int32)
+    ul = np.zeros(NB, np.int32)
+    for i, u in enumerate(units):
+        a = np.frombuffer(u, np.uint8)
+        ub[i, : len(a)] = a
+        ul[i] = len(a)
+    d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
+    t_enc_xh = chained(
+        lambda c, l, s: xh._encode_impl(c, l + s, U)[1], (d_ub, d_ul), reps=4
+    )
+    extras["xh_encode_GBps"] = round(nbytes / t_enc_xh / 1e9, 4)
+
+    # timed decode
+    mcl = xh._min_code_len(streams)
+    substeps = -(-16 // max(mcl, 1)) + 1
+    max_body = max(len(s) for s in streams) - 256
+    bb = 1024
+    while bb < max_body:
+        bb *= 2
+    P = min(xh.max_payload(U), 256 + bb + 16)
+    xp = np.zeros((NB, P), np.int32)
+    xl = np.zeros(NB, np.int32)
+    xo = np.zeros(NB, np.int32)
+    for i, s in enumerate(streams):
+        a = np.frombuffer(s, np.uint8)
+        xp[i, : len(a)] = a
+        xl[i] = len(a)
+        xo[i] = len(units[i])
+    d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
+    t_dec_xh = chained(
+        lambda p, l, o, s: xh._decode_impl(p, l, o + s, U, substeps)[0][:, 0],
+        (d_xp, d_xl, d_xo),
+        reps=4,
+    )
+    extras["xh_decode_GBps"] = round(nbytes / t_dec_xh / 1e9, 4)
+
+    # headline: aggregate decode throughput over both formats
+    dec_gbps = 2 * nbytes / (t_dec_lz + t_dec_xh) / 1e9
     print(
         json.dumps(
             {
-                "metric": "lznt1_decode_GBps_chip",
+                "metric": "decode_GBps_chip_lznt1_xh",
                 "value": round(dec_gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(dec_gbps / BASELINE_GBPS, 4),
-                "extras": {
-                    "lznt1_encode_GBps_chip": round(enc_gbps, 4),
-                    "corpus_mb": CORPUS_MB,
-                    "ratio": round(comp_bytes / len(data), 4),
-                    "device": str(jax.devices()[0]),
-                },
+                "extras": extras,
             }
         )
     )

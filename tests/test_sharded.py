@@ -1,0 +1,63 @@
+"""Generic sharded codec + archive container tests (virtual 8-CPU mesh)."""
+
+import pytest
+
+from tpucomp import Format
+from tpucomp.dist import Archive, ShardedCodec
+from tpucomp.oracle import lznt1 as o_lznt1
+from tpucomp.oracle import xpress as o_xpress
+from tpucomp.oracle import xpress_huff as o_xh
+
+
+@pytest.mark.parametrize(
+    "fmt,unit", [(Format.LZNT1, None), (Format.XPRESS, 4096), (Format.XPRESS_HUFF, 4096)]
+)
+def test_roundtrip_all_formats(corpus, fmt, unit):
+    data = corpus(30000)
+    sc = ShardedCodec(fmt, unit_size=unit)
+    arch = sc.compress(data)
+    assert sc.decompress(arch) == data
+    # container serialization round-trip
+    raw = arch.to_bytes()
+    arch2 = Archive.from_bytes(raw)
+    assert sc.decompress(arch2) == data
+
+
+def test_unit_streams_are_standard_formats(corpus):
+    data = corpus(20000)
+    for fmt, unit, oracle in [
+        (Format.XPRESS, 4096, o_xpress),
+        (Format.XPRESS_HUFF, 4096, o_xh),
+    ]:
+        sc = ShardedCodec(fmt, unit_size=unit)
+        arch = sc.compress(data)
+        # every unit stream decodes with the spec oracle
+        off = 0
+        for cl, ol in zip(
+            arch.manifest.unit_comp_lens, arch.manifest.unit_out_lens
+        ):
+            s = arch.payload[off : off + cl]
+            off += cl
+        # last unit:
+        start = sum(arch.manifest.unit_out_lens[:-1])
+        assert oracle.decompress(s, ol) == data[start : start + ol]
+
+
+def test_lznt1_payload_is_standard_stream(corpus):
+    data = corpus(20000)
+    sc = ShardedCodec(Format.LZNT1)
+    arch = sc.compress(data)
+    # concatenated LZNT1 unit streams form a standard LZNT1 stream
+    assert o_lznt1.decompress(arch.payload) == data
+
+
+def test_checkpoint_resume(corpus):
+    data = corpus(40000)
+    sc = ShardedCodec(Format.XPRESS_HUFF, unit_size=8192)
+    full = sc.compress(data)
+    # simulate a partial run: first 2 units done
+    partial = sc.compress(data[: 2 * 8192])
+    partial.manifest.done_units = 2
+    resumed = sc.compress(data, resume=partial)
+    assert resumed.to_bytes() == full.to_bytes()
+    assert sc.decompress(resumed) == data

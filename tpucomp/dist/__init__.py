@@ -18,3 +18,5 @@ C++, no SIMD/GPU/networking).  This layer is designed fresh for TPU
 
 from .mesh import data_mesh, local_device_count  # noqa: F401
 from .batch import ShardedLZNT1  # noqa: F401
+from .archive import Archive, Manifest  # noqa: F401
+from .sharded import ShardedCodec  # noqa: F401
