@@ -1,0 +1,127 @@
+"""ctypes binding for the native C codecs (the "cpu" backend).
+
+The shared library is built on demand with the system compiler and
+cached next to the source; no pip/pybind11 involved (environment
+constraint).  Role parity: the reference's codecs are native C++; this
+is tpucomp's native host path — also a second, independent
+implementation cross-validated against the oracle in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+
+from .errors import BufError, DataError
+from .formats import Format, register
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_DIR, "tpucomp_native.c")
+_SO = os.path.join(_DIR, "libtpucomp_native.so")
+
+_lib = None
+
+
+def _build():
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-fPIC", "-shared", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    for name in (
+        "lznt1_compress",
+        "lznt1_decompress",
+        "xpress_compress",
+        "xh_compress",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+    for name in ("xpress_decompress", "xh_decompress"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+    _lib = lib
+    return lib
+
+
+def _check(rc: int) -> int:
+    if rc == -3:
+        raise BufError("native: output buffer too small")
+    if rc < 0:
+        raise DataError("native: malformed stream")
+    return rc
+
+
+def _call(fn, data: bytes, out_cap: int) -> bytes:
+    out = ctypes.create_string_buffer(out_cap)
+    rc = _check(fn(data, len(data), out, out_cap))
+    return out.raw[:rc]
+
+
+def _bound(n):
+    return n + 2 * (n // 4096 + 2) + 16
+
+
+def lznt1_compress(data: bytes) -> bytes:
+    return _call(_load().lznt1_compress, bytes(data), _bound(len(data)))
+
+
+def lznt1_decompress(data: bytes, out_len=None) -> bytes:
+    data = bytes(data)
+    cap = out_len if out_len is not None else max(4096, 4096 * (len(data) // 2 + 2))
+    r = _call(_load().lznt1_decompress, data, cap)
+    if out_len is not None:
+        if len(r) < out_len:
+            raise DataError("LZNT1: stream ended before out_len bytes")
+        r = r[:out_len]
+    return r
+
+
+def xpress_compress(data: bytes) -> bytes:
+    n = len(data)
+    return _call(_load().xpress_compress, bytes(data), n + 4 * (n // 32 + 2) + 16)
+
+
+def xpress_decompress(data: bytes, out_len: int) -> bytes:
+    if out_len is None:
+        raise DataError("Xpress: out_len is required")
+    return _call(_load().xpress_decompress, bytes(data), out_len)
+
+
+def xh_compress(data: bytes) -> bytes:
+    n = len(data)
+    nb = max(1, (n + 65535) // 65536)
+    return _call(_load().xh_compress, bytes(data), nb * 264 + 2 * n + 16)
+
+
+def xh_decompress(data: bytes, out_len: int) -> bytes:
+    if out_len is None:
+        raise DataError("XpressHuff: out_len is required")
+    return _call(_load().xh_decompress, bytes(data), out_len)
+
+
+def register_all():
+    _load()  # build/verify up front; raises if no compiler
+    register(Format.LZNT1, "cpu", lznt1_compress, lznt1_decompress)
+    register(Format.XPRESS, "cpu", xpress_compress, xpress_decompress)
+    register(Format.XPRESS_HUFF, "cpu", xh_compress, xh_decompress)

@@ -1,0 +1,684 @@
+/* tpucomp native CPU codecs — fresh [MS-XCA] implementation in C.
+ *
+ * Role parity: the reference (coderforlife/ms-compress) implements its
+ * codecs natively; this is tpucomp's native host path (the "cpu"
+ * backend), written from the spec (SURVEY.md §8) — the reference mount
+ * was empty (SURVEY.md §0), so nothing here derives from its sources.
+ *
+ * API: all functions return the number of bytes written, or a negative
+ * MSCompStatus-style code: -1 data error, -3 output buffer too small.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define ERR_DATA (-1)
+#define ERR_BUF (-3)
+
+/* ================= LZNT1 ([MS-XCA] 2.5) ================= */
+
+#define LZ_CHUNK 4096
+#define LZ_HASH_BITS 12
+#define LZ_HASH_SIZE (1 << LZ_HASH_BITS)
+#define LZ_DEPTH 48
+
+static inline uint32_t hash3(const uint8_t *p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (v * 0x9E3779B1u) >> (32 - LZ_HASH_BITS);
+}
+
+static inline void lznt1_split(int pos, int *d_shift) {
+    int s = 0, q = pos - 1;
+    while (q >= 0x10) { s++; q >>= 1; }
+    *d_shift = 12 - s;
+}
+
+static int lznt1_compress_chunk(const uint8_t *in, int n, uint8_t *out, int cap) {
+    int16_t head[LZ_HASH_SIZE];
+    int16_t prev[LZ_CHUNK];
+    memset(head, -1, sizeof(head));
+    int o = 0, pos = 0;
+    while (pos < n) {
+        if (o >= cap) return ERR_BUF;
+        int flag_pos = o++;
+        uint8_t flag = 0;
+        for (int bit = 0; bit < 8 && pos < n; bit++) {
+            int d_shift;
+            lznt1_split(pos, &d_shift);
+            int l_mask = (1 << d_shift) - 1;
+            int max_len = l_mask + 3;
+            if (max_len > n - pos) max_len = n - pos;
+            int best_len = 0, best_disp = 0;
+            if (pos + 3 <= n) {
+                uint32_t h = hash3(in + pos);
+                int cand = head[h];
+                int depth = 0;
+                while (cand >= 0 && depth++ < LZ_DEPTH) {
+                    int len = 0;
+                    while (len < max_len && in[cand + len] == in[pos + len]) len++;
+                    if (len > best_len) {
+                        best_len = len;
+                        best_disp = pos - cand;
+                        if (len >= max_len) break;
+                    }
+                    cand = prev[cand];
+                }
+            }
+            if (best_len >= 3) {
+                if (o + 2 > cap) return ERR_BUF;
+                uint16_t tok = (uint16_t)(((best_disp - 1) << d_shift) | (best_len - 3));
+                out[o++] = (uint8_t)tok;
+                out[o++] = (uint8_t)(tok >> 8);
+                flag |= (uint8_t)(1 << bit);
+                int next = pos + best_len;
+                int hash_end = next < n - 2 ? next : n - 2;
+                for (; pos < hash_end; pos++) {
+                    uint32_t h = hash3(in + pos);
+                    prev[pos] = head[h];
+                    head[h] = (int16_t)pos;
+                }
+                pos = next;
+            } else {
+                if (o >= cap) return ERR_BUF;
+                if (pos + 3 <= n) {
+                    uint32_t h = hash3(in + pos);
+                    prev[pos] = head[h];
+                    head[h] = (int16_t)pos;
+                }
+                out[o++] = in[pos++];
+            }
+        }
+        out[flag_pos] = flag;
+    }
+    return o;
+}
+
+int lznt1_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    int o = 0;
+    for (int start = 0; start < in_len; start += LZ_CHUNK) {
+        int n = in_len - start;
+        if (n > LZ_CHUNK) n = LZ_CHUNK;
+        if (o + 2 > cap) return ERR_BUF;
+        uint8_t tmp[LZ_CHUNK + LZ_CHUNK / 8 + 16];
+        int c = lznt1_compress_chunk(in + start, n, tmp, (int)sizeof(tmp));
+        if (c < 0 && c != ERR_BUF) return c;
+        if (c > 0 && c < n) {
+            uint16_t hdr = (uint16_t)(0xB000 | (c - 1));
+            out[o++] = (uint8_t)hdr;
+            out[o++] = (uint8_t)(hdr >> 8);
+            if (o + c > cap) return ERR_BUF;
+            memcpy(out + o, tmp, (size_t)c);
+            o += c;
+        } else {
+            uint16_t hdr = (uint16_t)(0x3000 | (n - 1));
+            out[o++] = (uint8_t)hdr;
+            out[o++] = (uint8_t)(hdr >> 8);
+            if (o + n > cap) return ERR_BUF;
+            memcpy(out + o, in + start, (size_t)n);
+            o += n;
+        }
+    }
+    return o;
+}
+
+int lznt1_decompress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    int i = 0, o = 0;
+    while (i + 2 <= in_len) {
+        uint16_t hdr = (uint16_t)(in[i] | (in[i + 1] << 8));
+        i += 2;
+        if (hdr == 0) break;
+        int size = (hdr & 0xFFF) + 1;
+        if (i + size > in_len) return ERR_DATA;
+        int chunk_start = o;
+        if (!(hdr & 0x8000)) {
+            if (o + size > cap) return ERR_BUF;
+            memcpy(out + o, in + i, (size_t)size);
+            o += size;
+            i += size;
+        } else {
+            int end = i + size;
+            while (i < end) {
+                uint8_t flags = in[i++];
+                for (int bit = 0; bit < 8 && i < end; bit++) {
+                    if (flags & (1 << bit)) {
+                        if (i + 2 > end) return ERR_DATA;
+                        uint16_t tok = (uint16_t)(in[i] | (in[i + 1] << 8));
+                        i += 2;
+                        int p = o - chunk_start;
+                        int d_shift;
+                        lznt1_split(p, &d_shift);
+                        int len = (tok & ((1 << d_shift) - 1)) + 3;
+                        int disp = (tok >> d_shift) + 1;
+                        if (disp > p || p + len > LZ_CHUNK) return ERR_DATA;
+                        if (o + len > cap) return ERR_BUF;
+                        for (int k = 0; k < len; k++, o++) out[o] = out[o - disp];
+                    } else {
+                        if (o >= cap) return ERR_BUF;
+                        out[o++] = in[i++];
+                    }
+                }
+            }
+            if (o - chunk_start > LZ_CHUNK) return ERR_DATA;
+        }
+    }
+    return o;
+}
+
+/* ================= Plain Xpress ([MS-XCA] 2.3-2.4) ================= */
+
+#define XP_WINDOW 8192
+#define XP_HASH_BITS 14
+#define XP_HASH_SIZE (1 << XP_HASH_BITS)
+#define XP_DEPTH 48
+
+static inline uint32_t xp_hash3(const uint8_t *p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (v * 0x9E3779B1u) >> (32 - XP_HASH_BITS);
+}
+
+typedef struct {
+    uint8_t *out;
+    int cap, o;
+    uint32_t flags;
+    int nflags;
+    int flag_pos;
+    int nib_pos;
+} xp_writer;
+
+static int xpw_flag(xp_writer *w, int bit) {
+    if (w->flag_pos < 0) {
+        if (w->o + 4 > w->cap) return ERR_BUF;
+        w->flag_pos = w->o;
+        w->o += 4;
+    }
+    w->flags = (w->flags << 1) | (uint32_t)bit;
+    if (++w->nflags == 32) {
+        memcpy(w->out + w->flag_pos, &w->flags, 4);
+        w->flags = 0;
+        w->nflags = 0;
+        w->flag_pos = -1;
+    }
+    return 0;
+}
+
+static int xpw_finish(xp_writer *w) {
+    if (w->flag_pos >= 0) {
+        int rem = 32 - w->nflags;
+        uint32_t f = (w->flags << rem) | ((rem == 32) ? 0xFFFFFFFFu : ((1u << rem) - 1));
+        memcpy(w->out + w->flag_pos, &f, 4);
+        w->flag_pos = -1;
+    }
+    return w->o;
+}
+
+int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    static int32_t head[XP_HASH_SIZE];
+    /* grown-once scratch arena (single-threaded ctypes usage) */
+    static int32_t *prev = 0;
+    static int prev_cap = 0;
+    if (in_len > prev_cap) {
+        free(prev);
+        prev_cap = in_len < (1 << 16) ? (1 << 16) : in_len;
+        prev = (int32_t *)malloc((size_t)prev_cap * 4);
+        if (!prev) { prev_cap = 0; return ERR_DATA; }
+    }
+    memset(head, -1, sizeof(head));
+    xp_writer w = { out, cap, 0, 0, 0, -1, -1 };
+    int pos = 0;
+    while (pos < in_len) {
+        int best_len = 0, best_off = 0;
+        if (pos + 3 <= in_len) {
+            uint32_t h = xp_hash3(in + pos);
+            int cand = head[h];
+            int depth = 0;
+            while (cand >= 0 && pos - cand <= XP_WINDOW && depth++ < XP_DEPTH) {
+                int lim = in_len - pos;
+                int len = 0;
+                while (len < lim && in[cand + len] == in[pos + len]) len++;
+                if (len > best_len) {
+                    best_len = len;
+                    best_off = pos - cand;
+                    if (len >= lim) break;
+                }
+                cand = prev[cand];
+            }
+        }
+        if (best_len >= 3) {
+            if (xpw_flag(&w, 1)) return ERR_BUF;
+            if (w.o + 2 > cap) return ERR_BUF;
+            int L = best_len - 3;
+            uint16_t tok = (uint16_t)(((best_off - 1) << 3) | (L < 7 ? L : 7));
+            w.out[w.o++] = (uint8_t)tok;
+            w.out[w.o++] = (uint8_t)(tok >> 8);
+            if (L >= 7) {
+                L -= 7;
+                int nib = L < 15 ? L : 15;
+                if (w.nib_pos < 0) {
+                    if (w.o >= cap) return ERR_BUF;
+                    w.nib_pos = w.o;
+                    w.out[w.o++] = (uint8_t)nib;
+                } else {
+                    w.out[w.nib_pos] |= (uint8_t)(nib << 4);
+                    w.nib_pos = -1;
+                }
+                if (L >= 15) {
+                    L -= 15;
+                    if (L < 255) {
+                        if (w.o >= cap) return ERR_BUF;
+                        w.out[w.o++] = (uint8_t)L;
+                    } else {
+                        uint32_t full = (uint32_t)(best_len - 3);
+                        if (w.o + 3 > cap) return ERR_BUF;
+                        w.out[w.o++] = 255;
+                        if (full < 0x10000 && full != 0) {
+                            w.out[w.o++] = (uint8_t)full;
+                            w.out[w.o++] = (uint8_t)(full >> 8);
+                        } else {
+                            if (w.o + 6 > cap) return ERR_BUF;
+                            w.out[w.o++] = 0;
+                            w.out[w.o++] = 0;
+                            memcpy(w.out + w.o, &full, 4);
+                            w.o += 4;
+                        }
+                    }
+                }
+            }
+            int end = pos + best_len;
+            int he = end < in_len - 2 ? end : in_len - 2;
+            for (; pos < he; pos++) {
+                uint32_t h = xp_hash3(in + pos);
+                prev[pos] = head[h];
+                head[h] = pos;
+            }
+            pos = end;
+        } else {
+            if (xpw_flag(&w, 0)) return ERR_BUF;
+            if (w.o >= cap) return ERR_BUF;
+            if (pos + 3 <= in_len) {
+                uint32_t h = xp_hash3(in + pos);
+                prev[pos] = head[h];
+                head[h] = pos;
+            }
+            w.out[w.o++] = in[pos++];
+        }
+    }
+    return xpw_finish(&w);
+}
+
+int xpress_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
+    int i = 0, o = 0;
+    uint32_t flags = 0;
+    int nflags = 0, nib_pos = -1;
+    while (o < out_len) {
+        if (nflags == 0) {
+            if (i + 4 > in_len) return ERR_DATA;
+            memcpy(&flags, in + i, 4);
+            i += 4;
+            nflags = 32;
+        }
+        int is_match = (flags >> 31) & 1;
+        flags <<= 1;
+        nflags--;
+        if (!is_match) {
+            if (i >= in_len) return ERR_DATA;
+            out[o++] = in[i++];
+        } else {
+            if (i + 2 > in_len) return ERR_DATA;
+            uint16_t tok = (uint16_t)(in[i] | (in[i + 1] << 8));
+            i += 2;
+            int off = (tok >> 3) + 1;
+            uint32_t L = tok & 7;
+            if (L == 7) {
+                if (nib_pos < 0) {
+                    if (i >= in_len) return ERR_DATA;
+                    nib_pos = i;
+                    L = in[i++] & 0xF;
+                } else {
+                    L = in[nib_pos] >> 4;
+                    nib_pos = -1;
+                }
+                if (L == 15) {
+                    if (i >= in_len) return ERR_DATA;
+                    L = in[i++];
+                    if (L == 255) {
+                        if (i + 2 > in_len) return ERR_DATA;
+                        L = (uint32_t)(in[i] | (in[i + 1] << 8));
+                        i += 2;
+                        if (L == 0) {
+                            if (i + 4 > in_len) return ERR_DATA;
+                            memcpy(&L, in + i, 4);
+                            i += 4;
+                        }
+                        if (L < 22) return ERR_DATA;
+                        L -= 22;
+                    }
+                    L += 15;
+                }
+                L += 7;
+            }
+            int len = (int)L + 3;
+            if (off > o || o + len > out_len) return ERR_DATA;
+            for (int k = 0; k < len; k++, o++) out[o] = out[o - off];
+        }
+    }
+    return o;
+}
+
+/* ============ Xpress Huffman ([MS-XCA] 2.1-2.2) ============ */
+
+#define XH_BLOCK 65536
+#define XH_SYMS 512
+#define XH_MAXLEN 15
+
+typedef struct {
+    uint8_t *out;
+    int cap, o;
+    uint32_t bitbuf;
+    int bitcount;
+    int slot0, slot1;
+} xh_writer;
+
+static int xhw_init(xh_writer *w, uint8_t *out, int cap, int o) {
+    w->out = out; w->cap = cap; w->o = o;
+    w->bitbuf = 0; w->bitcount = 0;
+    if (o + 4 > cap) return ERR_BUF;
+    w->slot0 = o; w->slot1 = o + 2;
+    w->out[o] = w->out[o+1] = w->out[o+2] = w->out[o+3] = 0;
+    w->o = o + 4;
+    return 0;
+}
+
+static int xhw_bits(xh_writer *w, uint32_t val, int nbits) {
+    if (!nbits) return 0;
+    w->bitbuf = (w->bitbuf << nbits) | (val & ((1u << nbits) - 1));
+    w->bitcount += nbits;
+    while (w->bitcount > 16) {
+        w->bitcount -= 16;
+        uint16_t word = (uint16_t)(w->bitbuf >> w->bitcount);
+        w->out[w->slot0] = (uint8_t)word;
+        w->out[w->slot0 + 1] = (uint8_t)(word >> 8);
+        w->slot0 = w->slot1;
+        if (w->o + 2 > w->cap) return ERR_BUF;
+        w->slot1 = w->o;
+        w->out[w->o] = w->out[w->o + 1] = 0;
+        w->o += 2;
+    }
+    return 0;
+}
+
+static void xhw_flush(xh_writer *w) {
+    if (w->bitcount) {
+        uint16_t word = (uint16_t)((w->bitbuf << (16 - w->bitcount)) & 0xFFFF);
+        w->out[w->slot0] = (uint8_t)word;
+        w->out[w->slot0 + 1] = (uint8_t)(word >> 8);
+    }
+}
+
+/* two-queue Huffman + 15-bit repair + canonical codes */
+static void xh_build_lengths(const uint32_t *freq, uint8_t *lens) {
+    int order[XH_SYMS];
+    uint32_t f[XH_SYMS];
+    int n = 0;
+    for (int s = 0; s < XH_SYMS; s++) {
+        lens[s] = 0;
+        if (freq[s]) { order[n] = s; f[n] = freq[s]; n++; }
+    }
+    if (n == 0) return;
+    if (n == 1) { lens[order[0]] = 1; return; }
+    /* sort leaves by (freq, sym) — insertion sort is fine at 512 */
+    for (int a = 1; a < n; a++) {
+        int s = order[a]; uint32_t fa = f[a];
+        int b = a - 1;
+        while (b >= 0 && (f[b] > fa)) { f[b+1] = f[b]; order[b+1] = order[b]; b--; }
+        f[b+1] = fa; order[b+1] = s;
+    }
+    /* two-queue merge recording parents */
+    uint32_t nodef[XH_SYMS];
+    int leaf_parent[XH_SYMS], node_parent[XH_SYMS];
+    int lp = 0, nh = 0, created = 0;
+    while (created < n - 1) {
+        int take_leaf1 = (nh >= created) || (lp < n && f[lp] <= nodef[nh]);
+        uint32_t c1; int t1l = take_leaf1, i1 = take_leaf1 ? lp : nh;
+        if (take_leaf1) c1 = f[lp++]; else c1 = nodef[nh++];
+        int take_leaf2 = (nh >= created) || (lp < n && f[lp] <= nodef[nh]);
+        if (lp >= n) take_leaf2 = 0;
+        uint32_t c2; int t2l = take_leaf2, i2 = take_leaf2 ? lp : nh;
+        if (take_leaf2) c2 = f[lp++]; else c2 = nodef[nh++];
+        nodef[created] = c1 + c2;
+        if (t1l) leaf_parent[i1] = created; else node_parent[i1] = created;
+        if (t2l) leaf_parent[i2] = created; else node_parent[i2] = created;
+        created++;
+    }
+    int node_depth[XH_SYMS];
+    node_depth[created - 1] = 0;
+    for (int s = created - 2; s >= 0; s--)
+        node_depth[s] = node_depth[node_parent[s]] + 1;
+    /* depth profile with 15-bit clamp + kraft repair */
+    int cnt[XH_MAXLEN + 2];
+    memset(cnt, 0, sizeof(cnt));
+    for (int k = 0; k < n; k++) {
+        int d = node_depth[leaf_parent[k]] + 1;
+        if (d > XH_MAXLEN) d = XH_MAXLEN;
+        cnt[d]++;
+    }
+    long kraft = 0;
+    for (int l = 1; l <= XH_MAXLEN; l++) kraft += (long)cnt[l] << (XH_MAXLEN - l);
+    while (kraft > (1L << XH_MAXLEN)) {
+        for (int l = XH_MAXLEN - 1; l >= 1; l--) {
+            if (cnt[l] > 0) {
+                cnt[l]--; cnt[l + 1]++;
+                kraft -= 1L << (XH_MAXLEN - 1 - l);
+                break;
+            }
+        }
+    }
+    /* assign: longest codes to smallest-freq leaves (sorted order) */
+    int k = 0;
+    for (int l = XH_MAXLEN; l >= 1; l--)
+        for (int c = 0; c < cnt[l]; c++) lens[order[k++]] = (uint8_t)l;
+}
+
+static void xh_canonical(const uint8_t *lens, uint16_t *codes) {
+    int cnt[XH_MAXLEN + 1];
+    memset(cnt, 0, sizeof(cnt));
+    for (int s = 0; s < XH_SYMS; s++) if (lens[s]) cnt[lens[s]]++;
+    uint16_t first[XH_MAXLEN + 1];
+    uint16_t code = 0;
+    for (int l = 1; l <= XH_MAXLEN; l++) {
+        first[l] = code;
+        code = (uint16_t)((code + cnt[l]) << 1);
+    }
+    uint16_t next[XH_MAXLEN + 1];
+    memcpy(next, first, sizeof(next));
+    for (int s = 0; s < XH_SYMS; s++)
+        if (lens[s]) codes[s] = next[lens[s]]++;
+}
+
+int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    static int32_t head[XP_HASH_SIZE];
+    static int32_t prev_buf[XH_BLOCK];
+    static int32_t tok_pos[XH_BLOCK];
+    static int32_t tok_len[XH_BLOCK];
+    static int32_t tok_off[XH_BLOCK];
+    int o = 0;
+    int nblocks = in_len ? (in_len + XH_BLOCK - 1) / XH_BLOCK : 1;
+    for (int bi = 0; bi < nblocks; bi++) {
+        const uint8_t *blk = in + bi * XH_BLOCK;
+        int n = in_len - bi * XH_BLOCK;
+        if (n > XH_BLOCK) n = XH_BLOCK;
+        if (n < 0) n = 0;
+        memset(head, -1, sizeof(head));
+        /* parse */
+        int T = 0, pos = 0;
+        uint32_t freq[XH_SYMS];
+        memset(freq, 0, sizeof(freq));
+        while (pos < n) {
+            int best_len = 0, best_off = 0;
+            if (pos + 3 <= n) {
+                uint32_t h = xp_hash3(blk + pos);
+                int cand = head[h];
+                int depth = 0;
+                while (cand >= 0 && depth++ < XP_DEPTH) {
+                    int lim = n - pos;
+                    int len = 0;
+                    while (len < lim && blk[cand + len] == blk[pos + len]) len++;
+                    if (len > best_len) {
+                        best_len = len; best_off = pos - cand;
+                        if (len >= lim) break;
+                    }
+                    cand = prev_buf[cand];
+                }
+            }
+            if (best_len >= 3) {
+                tok_pos[T] = pos; tok_len[T] = best_len; tok_off[T] = best_off; T++;
+                int L = best_len - 3;
+                int obc = 0; while ((1 << (obc + 1)) <= best_off) obc++;
+                int lh = L < 15 ? L : 15;
+                freq[256 + ((obc << 4) | lh)]++;
+                int end = pos + best_len;
+                int he = end < n - 2 ? end : n - 2;
+                for (; pos < he; pos++) {
+                    uint32_t h = xp_hash3(blk + pos);
+                    prev_buf[pos] = head[h];
+                    head[h] = pos;
+                }
+                pos = end;
+            } else {
+                tok_pos[T] = pos; tok_len[T] = -1; tok_off[T] = blk[pos]; T++;
+                freq[blk[pos]]++;
+                if (pos + 3 <= n) {
+                    uint32_t h = xp_hash3(blk + pos);
+                    prev_buf[pos] = head[h];
+                    head[h] = pos;
+                }
+                pos++;
+            }
+        }
+        /* table */
+        uint8_t lens[XH_SYMS];
+        uint16_t codes[XH_SYMS];
+        xh_build_lengths(freq, lens);
+        xh_canonical(lens, codes);
+        if (o + 256 > cap) return ERR_BUF;
+        for (int i2 = 0; i2 < 256; i2++)
+            out[o + i2] = (uint8_t)(lens[2 * i2] | (lens[2 * i2 + 1] << 4));
+        o += 256;
+        /* bitstream */
+        xh_writer w;
+        if (xhw_init(&w, out, cap, o)) return ERR_BUF;
+        for (int t = 0; t < T; t++) {
+            if (tok_len[t] < 0) {
+                int s = tok_off[t];
+                if (xhw_bits(&w, codes[s], lens[s])) return ERR_BUF;
+            } else {
+                int L = tok_len[t] - 3;
+                int off = tok_off[t];
+                int obc = 0; while ((1 << (obc + 1)) <= off) obc++;
+                int lh = L < 15 ? L : 15;
+                int s = 256 + ((obc << 4) | lh);
+                if (xhw_bits(&w, codes[s], lens[s])) return ERR_BUF;
+                if (xhw_bits(&w, (uint32_t)off & ((1u << obc) - 1), obc)) return ERR_BUF;
+                if (lh == 15) {
+                    int rem = L - 15;
+                    if (rem < 255) {
+                        if (w.o >= w.cap) return ERR_BUF;
+                        w.out[w.o++] = (uint8_t)rem;
+                    } else {
+                        if (w.o + 3 > w.cap) return ERR_BUF;
+                        w.out[w.o++] = 255;
+                        w.out[w.o++] = (uint8_t)L;
+                        w.out[w.o++] = (uint8_t)(L >> 8);
+                    }
+                }
+            }
+        }
+        xhw_flush(&w);
+        o = w.o;
+    }
+    return o;
+}
+
+int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
+    static uint16_t lut[1 << XH_MAXLEN]; /* (sym<<4)|len */
+    int i = 0, o = 0;
+    while (o < out_len) {
+        if (i + 256 > in_len) return ERR_DATA;
+        uint8_t lens[XH_SYMS];
+        for (int k = 0; k < 256; k++) {
+            lens[2 * k] = in[i + k] & 0xF;
+            lens[2 * k + 1] = in[i + k] >> 4;
+        }
+        i += 256;
+        uint16_t codes[XH_SYMS];
+        xh_canonical(lens, codes);
+        memset(lut, 0xFF, sizeof(lut));
+        for (int s = 0; s < XH_SYMS; s++) {
+            if (!lens[s]) continue;
+            int span = 1 << (XH_MAXLEN - lens[s]);
+            int base = codes[s] << (XH_MAXLEN - lens[s]);
+            for (int k = 0; k < span; k++) lut[base + k] = (uint16_t)((s << 4) | lens[s]);
+        }
+        /* bit reader */
+        uint32_t bitbuf = 0;
+        int bitcount = 0, bits_used = 0, raw_used = 0;
+        int start = i, p = i;
+        uint32_t w0 = 0, w1 = 0;
+        w0 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
+        w1 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
+        bitbuf = (w0 << 16) | w1;
+        bitcount = 32;
+        int block_end = o + XH_BLOCK;
+        if (block_end > out_len) block_end = out_len;
+        while (o < block_end) {
+            uint16_t e = lut[(bitbuf >> 17) & 0x7FFF];
+            if (e == 0xFFFF) return ERR_DATA;
+            int sym = e >> 4, sl = e & 0xF;
+            bitbuf <<= sl; bitcount -= sl; bits_used += sl;
+            if (bitcount < 16) {
+                uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                bitbuf |= wnext << (16 - bitcount);
+                p += 2; bitcount += 16;
+            }
+            if (sym < 256) {
+                out[o++] = (uint8_t)sym;
+                continue;
+            }
+            int m = sym - 256;
+            int obc = m >> 4;
+            uint32_t L = (uint32_t)(m & 0xF);
+            uint32_t off = (1u << obc);
+            if (obc) {
+                off |= (bitbuf >> (32 - obc));
+                bitbuf <<= obc; bitcount -= obc; bits_used += obc;
+                if (bitcount < 16) {
+                    uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                    bitbuf |= wnext << (16 - bitcount);
+                    p += 2; bitcount += 16;
+                }
+            }
+            if (L == 15) {
+                if (p >= in_len) return ERR_DATA;
+                uint32_t b = in[p++]; raw_used++;
+                if (b == 255) {
+                    uint32_t u16 = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                    p += 2; raw_used += 2;
+                    if (u16 == 0) {
+                        if (p + 4 > in_len) return ERR_DATA;
+                        memcpy(&u16, in + p, 4); p += 4; raw_used += 4;
+                    }
+                    L = u16;
+                } else {
+                    L = b + 15;
+                }
+            }
+            int len = (int)L + 3;
+            if ((int)off > o || o + len > out_len) return ERR_DATA;
+            for (int k = 0; k < len; k++, o++) out[o] = out[o - (int)off];
+        }
+        /* writer-layout span: 2*(2+f)+raw, f = max(0, ceil(bits/16)-1) */
+        int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
+        i = start + 2 * (2 + flushes) + raw_used;
+    }
+    return o;
+}
