@@ -80,3 +80,16 @@ class TestStreamingXpress:
         # each 64 KiB unit is an independent single-block stream; since our
         # decoder reads blocks back-to-back, the concatenation decodes whole
         assert tpucomp.decompress(Format.XPRESS_HUFF, stream, len(data)) == data
+
+
+class TestBatchAPI:
+    def test_batch_all_formats(self, corpus):
+        data = corpus(20000)
+        units = [data[i : i + 4096] for i in range(0, len(data), 4096)]
+        for fmt in (Format.LZNT1, Format.XPRESS, Format.XPRESS_HUFF):
+            kw = {} if fmt == Format.LZNT1 else {"unit_size": 4096}
+            streams = tpucomp.compress_batch(fmt, units, **kw)
+            out = tpucomp.decompress_batch(
+                fmt, streams, [len(u) for u in units], **kw
+            )
+            assert b"".join(out) == data, fmt

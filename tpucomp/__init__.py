@@ -28,7 +28,9 @@ from .api import (  # noqa: F401
     Compressor,
     Decompressor,
     compress,
+    compress_batch,
     decompress,
+    decompress_batch,
     max_compressed_size,
 )
 

@@ -69,6 +69,52 @@ def max_compressed_size(fmt, n: int) -> int:
     return entry.max_compressed_size(n)
 
 
+def compress_batch(fmt, units, *, unit_size: Optional[int] = None):
+    """Device-batched compression of independent units (list of bytes).
+
+    Returns a list of per-unit streams, each a standard [MS-XCA] stream
+    of the format.  All units are processed in one device batch (VPU
+    lanes = units); use :class:`tpucomp.dist.ShardedCodec` for
+    mesh-sharded operation and archive framing.
+    """
+    fmt = formats.canonical(fmt)
+    if fmt == Format.LZNT1:
+        return _lznt1_batch(units)
+    if fmt == Format.XPRESS:
+        from .codecs import xpress as m
+
+        return m.compress_units(units, unit_size=unit_size or m.UNIT)
+    if fmt == Format.XPRESS_HUFF:
+        from .codecs import xpress_huff as m
+
+        return m.compress_units(units, unit_size=unit_size or m.BLOCK)
+    raise ArgError(f"no batched codec for {fmt.name}")
+
+
+def decompress_batch(fmt, streams, out_lens, *, unit_size: Optional[int] = None):
+    """Device-batched decompression of independent unit streams."""
+    fmt = formats.canonical(fmt)
+    if fmt == Format.LZNT1:
+        from .dist.sharded import ShardedCodec
+
+        return ShardedCodec(Format.LZNT1)._lznt1_units(streams, encode=False)
+    if fmt == Format.XPRESS:
+        from .codecs import xpress as m
+
+        return m.decompress_units(streams, out_lens, unit_size=unit_size or m.UNIT)
+    if fmt == Format.XPRESS_HUFF:
+        from .codecs import xpress_huff as m
+
+        return m.decompress_units(streams, out_lens, unit_size=unit_size or m.BLOCK)
+    raise ArgError(f"no batched codec for {fmt.name}")
+
+
+def _lznt1_batch(units):
+    from .dist.sharded import ShardedCodec
+
+    return ShardedCodec(Format.LZNT1)._lznt1_units(list(units), encode=True)
+
+
 class Compressor:
     """Streaming compressor (reference: ``ms_deflate_init/ms_deflate/...``).
 
