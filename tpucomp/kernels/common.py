@@ -146,22 +146,28 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
 def capped_matchlen(w, cand, valid, n, cap=16):
     """Match length (≤ cap) of each row vs itself at candidate positions.
 
-    ``w`` is the le_words() view; 4 bytes per one-shot gather; XOR +
-    count-trailing-zeros finds the first differing byte (little-endian ⇒
-    low byte is the first byte).  Windows clipped at the row tail earn no
-    credit (always safe: the measured prefix is verified equal).
+    ``w`` is the le_words() view.  All cap/4 candidate-side words are
+    fetched with ONE multi-value fill_gather (a single sort pass instead
+    of per-word 10ns/element gathers); XOR + count-trailing-zeros finds
+    the first differing byte (little-endian ⇒ low byte is first).
+    Windows clipped at the row tail earn no credit (always safe: the
+    measured prefix is verified equal).
     """
+    N = w.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    keys = jnp.broadcast_to(pos, (N, n))
+    nwords = cap // 4
+    shifted = tuple(jnp.roll(w, -4 * t, axis=1) for t in range(nwords))
+    wbs = fill_gather(keys, shifted, jnp.clip(cand, 0, n - 1))
     total = jnp.zeros_like(cand)
     alive = valid
-    for tword in range(cap // 4):
+    for tword in range(nwords):
         off = 4 * tword
-        wa = jnp.roll(w, -off, axis=1)  # w[pos + off]: uniform shift
-        wb = jnp.take_along_axis(w, jnp.clip(cand + off, 0, n - 1), axis=1)
-        v = wa ^ wb
+        wa = shifted[tword]  # w[pos + off]: uniform shift
+        v = wa ^ wbs[tword]
         tz = 32 - lax.clz(v & -v) - 1  # masked below where v == 0
         agree = jnp.where(v == 0, 4, tz >> 3)
-        clipped = (pos + off) > (n - 4)
+        clipped = ((pos + off) > (n - 4)) | (jnp.clip(cand, 0, n - 1) + off > n - 4)
         agree = jnp.where(clipped, 0, agree)
         total = total + jnp.where(alive, agree, 0)
         alive = alive & (v == 0) & ~clipped
@@ -200,7 +206,12 @@ def run_matchlens(x, disps):
 # --------------------------------------------------------------------------
 
 FAR_TAG = 1 << 24  # out-value tag: "pointer to earlier output position"
-RESOLVE_WINDOW = 256  # in-scan exact window (covers most real displacements)
+# In-scan exact window.  Measured on the bench corpus: ~79% of copy bytes
+# have d <= 512 and the max far-chain depth is 5 (vs 9 at 256), so the
+# far while_loop (which pointer-doubles: log2(depth) rounds of 2 sorts)
+# converges in <= 3 rounds.  The window one-hot costs ~W ops/step in the
+# resolve scan — 512 is the measured sweet spot.
+RESOLVE_WINDOW = 512
 
 
 def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
