@@ -49,6 +49,29 @@ def chained(fn, args, reps=REPS):
     return (time.perf_counter() - t0) / reps
 
 
+def host_chained(fn, args, reps=4):
+    """Host-level salted rep chain: one jit of the bare fn; dependent
+    salts defeat dispatch elision.  ~35 ms RTT rides on each rep — use
+    only for pipelines whose per-rep runtime dwarfs it (the big XH
+    programs, whose fori-wrapped variants take pathologically long to
+    compile through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(fn)
+    salt = jnp.int32(0)
+    r = f(*args, salt)
+    jax.block_until_ready(r)
+    _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+    t0 = time.perf_counter()
+    for _i in range(reps):
+        r = f(*args, salt)
+        salt = jnp.min(jax.tree_util.tree_leaves(r)[0]) * 0
+    jax.block_until_ready((r, salt))
+    _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+    return (time.perf_counter() - t0) / reps
+
+
 def main():
     import jax
 
@@ -133,7 +156,7 @@ def main():
         ub[i, : len(a)] = a
         ul[i] = len(a)
     d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
-    t_enc_xh = chained(
+    t_enc_xh = host_chained(
         lambda c, l, s: xh._encode_impl(c, l + s, U)[1], (d_ub, d_ul), reps=4
     )
     extras["xh_encode_GBps"] = round(nbytes / t_enc_xh / 1e9, 4)
@@ -155,7 +178,7 @@ def main():
         xl[i] = len(a)
         xo[i] = len(units[i])
     d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
-    t_dec_xh = chained(
+    t_dec_xh = host_chained(
         lambda p, l, o, s: xh._decode_impl(p, l, o + s, U, substeps)[0][:, 0],
         (d_xp, d_xl, d_xo),
         reps=4,
