@@ -46,11 +46,11 @@ from ..errors import DataError
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
+    fill_gather_left,
     hash_candidates,
     le_words,
     resolve_copies,
     run_matchlens,
-    searchsorted_rows,
 )
 
 CHUNK = 4096
@@ -259,19 +259,23 @@ def encode_batch(chunks, clen):
     t_after = t_after_T.T  # tokens committed up to and including p
     data_before = data_before_T.T
 
-    # ---- token-major views by binary search (pos_of_token) ----
+    # ---- token-major views: ONE multi-value sort fill (first position
+    # whose running token count reaches t+1 = position of token t) ----
     tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
-    p_t = searchsorted_rows(t_after, tq + 1, side="left")  # [N, n] pos of token t
     tok_exists = tq < T_total[:, None]
-    p_tc = jnp.clip(p_t, 0, n - 1)
-    iscp_tm = jnp.take_along_axis(committed & is_match, p_tc, axis=1) & tok_exists
-    len_tm = jnp.take_along_axis(best_len, p_tc, axis=1)
-    disp_tm = jnp.take_along_axis(best_disp, p_tc, axis=1)
-    dsh_tm = jnp.take_along_axis(
-        jnp.broadcast_to(d_shift, (N, n)), p_tc, axis=1
+    iscp_tm, len_tm, disp_tm, dsh_tm, lit_tm, dbefore_tm = fill_gather_left(
+        t_after,
+        (
+            (committed & is_match).astype(jnp.int32),
+            best_len,
+            best_disp,
+            jnp.broadcast_to(d_shift, (N, n)).astype(jnp.int32),
+            chunks,
+            data_before,
+        ),
+        tq + 1,
     )
-    lit_tm = jnp.take_along_axis(chunks, p_tc, axis=1)
-    dbefore_tm = jnp.take_along_axis(data_before, p_tc, axis=1)
+    iscp_tm = (iscp_tm == 1) & tok_exists
     grp_tm = tq >> 3
     off_tm = jnp.where(
         tok_exists, (grp_tm + 1) + dbefore_tm, MAX_PAYLOAD + 16
@@ -279,49 +283,38 @@ def encode_batch(chunks, clen):
     tokv_tm = jnp.left_shift(disp_tm - 1, dsh_tm) | (len_tm - MIN_MATCH)
     b0_tm = jnp.where(iscp_tm, tokv_tm & 0xFF, lit_tm)
 
-    # group flag bytes: value = OR of copy bits; position = off(first tok) - 1
+    # group flag bytes: value = OR of copy bits; position = off(first tok)
+    # - 1.  Tokens of a group are contiguous in token-major order, so this
+    # is a pure reshape — no gathers.
     NG = n // 8
-    gq = jnp.arange(NG, dtype=jnp.int32)[None, :]
-    gq = jnp.broadcast_to(gq, (N, NG))
+    gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
+    iscp_g = iscp_tm.astype(jnp.int32).reshape(N, NG, 8)
     fval = jnp.zeros((N, NG), jnp.int32)
     for k in range(8):
-        tk = jnp.clip(gq * 8 + k, 0, n - 1)
-        bitk = jnp.take_along_axis(iscp_tm.astype(jnp.int32), tk, axis=1)
-        fval = fval | jnp.left_shift(bitk, k)
-    first_t = jnp.clip(gq * 8, 0, n - 1)
-    fpos = jnp.take_along_axis(off_tm, first_t, axis=1) - 1
+        fval = fval | jnp.left_shift(iscp_g[:, :, k], k)
+    fpos = off_tm.reshape(N, NG, 8)[:, :, 0] - 1
     grp_exists = gq * 8 < T_total[:, None]
     fpos = jnp.where(grp_exists, fpos, MAX_PAYLOAD + 16)
 
-    # ---- payload bytes: each position binary-searches its content ----
+    # ---- payload bytes: each position finds its content via two
+    # multi-value sort fills (covering token, covering flag byte) ----
     MAXQ = MAX_PAYLOAD
     bq = jnp.broadcast_to(
         jnp.arange(MAXQ, dtype=jnp.int32)[None, :], (N, MAXQ)
     )
-    tb = searchsorted_rows(off_tm, bq, side="right") - 1
-    tbc = jnp.clip(tb, 0, n - 1)
-    off_b = jnp.take_along_axis(off_tm, tbc, axis=1)
-    is_b0 = (tb >= 0) & (bq == off_b)
-    is_b1 = (
-        (tb >= 0)
-        & (bq == off_b + 1)
-        & jnp.take_along_axis(iscp_tm, tbc, axis=1)
+    off_b, iscp_b, b0_b, tokhi_b = fill_gather(
+        off_tm,
+        (off_tm, iscp_tm.astype(jnp.int32), b0_tm, tokv_tm >> 8),
+        bq,
     )
-    gb = searchsorted_rows(fpos, bq, side="right") - 1
-    gbc = jnp.clip(gb, 0, NG - 1)
-    is_flag = (gb >= 0) & (bq == jnp.take_along_axis(fpos, gbc, axis=1))
+    is_b0 = bq == off_b
+    is_b1 = (bq == off_b + 1) & (iscp_b == 1)
+    fpos_b, fval_b = fill_gather(fpos, (fpos, fval), bq)
+    is_flag = bq == fpos_b
     val = jnp.where(
         is_flag,
-        jnp.take_along_axis(fval, gbc, axis=1),
-        jnp.where(
-            is_b0,
-            jnp.take_along_axis(b0_tm, tbc, axis=1),
-            jnp.where(
-                is_b1,
-                jnp.take_along_axis(tokv_tm, tbc, axis=1) >> 8,
-                0,
-            ),
-        ),
+        fval_b,
+        jnp.where(is_b0, b0_b, jnp.where(is_b1, tokhi_b, 0)),
     )
     ngroups = (T_total + 7) >> 3
     plen = jnp.where(T_total > 0, ngroups + data_total, 0)

@@ -41,11 +41,11 @@ from ..util import pad_batch
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
+    fill_gather_left,
     hash_candidates,
     le_words,
     resolve_copies,
     run_matchlens,
-    searchsorted_rows,
 )
 
 MIN_MATCH = 3
@@ -387,21 +387,23 @@ def _encode_impl(units, ulen, U):
     data_before = ys[3].T
     opens_pm = ys[4].T  # position-major "this token opens a nibble byte"
 
-    # ---- token-major views ----
+    # ---- token-major views: ONE multi-value sort fill ----
     tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
-    p_t = searchsorted_rows(t_after, tq + 1, side="left")
     tok_exists = tq < T_total[:, None]
-    p_tc = jnp.clip(p_t, 0, n - 1)
-
-    def tm(arr):
-        return jnp.take_along_axis(arr, p_tc, axis=1)
-
-    iscp_tm = tm(committed & is_match) & tok_exists
-    len_tm = tm(best_len)
-    disp_tm = tm(best_disp)
-    lit_tm = tm(units)
-    dbefore_tm = tm(data_before)
-    opens_tm = tm(opens_pm) & tok_exists
+    iscp_i, len_tm, disp_tm, lit_tm, dbefore_tm, opens_i = fill_gather_left(
+        t_after,
+        (
+            (committed & is_match).astype(jnp.int32),
+            best_len,
+            best_disp,
+            units,
+            data_before,
+            opens_pm.astype(jnp.int32),
+        ),
+        tq + 1,
+    )
+    iscp_tm = (iscp_i == 1) & tok_exists
+    opens_tm = (opens_i == 1) & tok_exists
     L_tm = len_tm - MIN_MATCH
     grp_tm = tq >> 5
     off_tm = jnp.where(
@@ -414,58 +416,56 @@ def _encode_impl(units, ulen, U):
     nibuser_tm = nibuser_tm & iscp_tm
 
     # nibble pairing: opener's byte carries the NEXT nibble-user's value in
-    # its high nibble.  nu_after[t] = # nibble users among tokens <= t.
-    nu_after_pm_T = None  # (not needed position-major)
+    # its high nibble.  nu_after[t] = # nibble users among tokens <= t;
+    # partner of opener t = first token with nu_after == nu_after[t] + 1.
     nu_after = jnp.cumsum(nibuser_tm.astype(jnp.int32), axis=1)
-    # partner of opener t = first token with nu_after == nu_after[t] + 1
-    partner = searchsorted_rows(nu_after, nu_after + 1, side="left")
-    partner_c = jnp.clip(partner, 0, n - 1)
-    partner_nib = jnp.take_along_axis(nibval_tm, partner_c, axis=1)
-    partner_exists = partner < jnp.minimum(
-        jnp.int32(n), T_total[:, None]
+    partner_nib, partner_t = fill_gather_left(
+        nu_after, (nibval_tm, tq), nu_after + 1
     )
-    nib_byte_tm = nibval_tm | jnp.where(
-        partner_exists, partner_nib << 4, 0
-    )
+    partner_exists = (partner_t > tq) & (partner_t < T_total[:, None])
+    nib_byte_tm = nibval_tm | jnp.where(partner_exists, partner_nib << 4, 0)
 
-    # ---- group flag words ----
+    # ---- group flag words (contiguous token groups: pure reshape) ----
     NG = n // 32
     gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
+    bits_g = iscp_tm.astype(jnp.int32).reshape(N, NG, 32)
+    exists_g = tok_exists.astype(jnp.int32).reshape(N, NG, 32)
     fv = jnp.zeros((N, NG), jnp.int32)
     for k in range(32):
-        tk = jnp.clip(gq * 32 + k, 0, n - 1)
-        bitk = jnp.take_along_axis(iscp_tm.astype(jnp.int32), tk, axis=1)
         # padding bits (absent tokens) are 1s per the encoder convention
-        absent = (gq * 32 + k) >= T_total[:, None]
-        bitk = jnp.where(absent, 1, bitk)
+        bitk = jnp.where(exists_g[:, :, k] == 1, bits_g[:, :, k], 1)
         fv = fv | jnp.left_shift(bitk, 31 - k)
-    first_t = jnp.clip(gq * 32, 0, n - 1)
-    fpos = jnp.take_along_axis(off_tm, first_t, axis=1) - 4
+    fpos = off_tm.reshape(N, NG, 32)[:, :, 0] - 4
     grp_exists = gq * 32 < T_total[:, None]
     fpos = jnp.where(grp_exists, fpos, jnp.int32(1 << 28))
 
-    # ---- payload byte assembly ----
+    # ---- payload byte assembly: two multi-value sort fills ----
     MAXP = max_payload(n)
     bq = jnp.broadcast_to(jnp.arange(MAXP, dtype=jnp.int32)[None, :], (N, MAXP))
-    gb = searchsorted_rows(fpos, bq, side="right") - 1
-    gbc = jnp.clip(gb, 0, NG - 1)
-    fpos_b = jnp.take_along_axis(fpos, gbc, axis=1)
-    in_flag = (gb >= 0) & (bq - fpos_b < 4)
-    fv_b = jnp.take_along_axis(fv, gbc, axis=1)
+    fpos_b, fv_b = fill_gather(fpos, (fpos, fv), bq)
+    in_flag = bq - fpos_b < 4
     flag_byte = (fv_b >> ((bq - fpos_b) * 8)) & 0xFF  # LE storage
 
-    tb = searchsorted_rows(off_tm, bq, side="right") - 1
-    tbc = jnp.clip(tb, 0, n - 1)
-    off_b = jnp.take_along_axis(off_tm, tbc, axis=1)
+    (off_b, iscp_i_b, tokv_b, lit_b, opens_i_b, nibbyte_b, rem_b,
+     big_i_b, L_b) = fill_gather(
+        off_tm,
+        (
+            off_tm,
+            iscp_tm.astype(jnp.int32),
+            tokv_tm,
+            lit_tm,
+            opens_tm.astype(jnp.int32),
+            nib_byte_tm,
+            rem_tm,
+            big_tm.astype(jnp.int32),
+            L_tm,
+        ),
+        bq,
+    )
     delta = bq - off_b
-    iscp_b = jnp.take_along_axis(iscp_tm, tbc, axis=1)
-    tokv_b = jnp.take_along_axis(tokv_tm, tbc, axis=1)
-    lit_b = jnp.take_along_axis(lit_tm, tbc, axis=1)
-    opens_b = jnp.take_along_axis(opens_tm, tbc, axis=1)
-    nibbyte_b = jnp.take_along_axis(nib_byte_tm, tbc, axis=1)
-    rem_b = jnp.take_along_axis(rem_tm, tbc, axis=1)
-    big_b = jnp.take_along_axis(big_tm, tbc, axis=1)
-    L_b = jnp.take_along_axis(L_tm, tbc, axis=1)
+    iscp_b = iscp_i_b == 1
+    opens_b = opens_i_b == 1
+    big_b = big_i_b == 1
 
     # escape byte layout after the 2-byte token:
     #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]

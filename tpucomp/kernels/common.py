@@ -68,6 +68,19 @@ def fill_gather(data_keys, data_vals, query_keys):
     return outs[0] if single else outs
 
 
+def fill_gather_left(data_keys, data_vals, query_keys):
+    """For each query q: value of the FIRST data entry with key >= q
+    (the searchsorted-left counterpart of fill_gather).  Implemented by
+    negating and flipping: first-key>=q on the original order is
+    last-key<=-q on the reversed, negated arrays."""
+    single = not isinstance(data_vals, (tuple, list))
+    vals_in = (data_vals,) if single else tuple(data_vals)
+    fk = -jnp.flip(data_keys, axis=1)
+    fv = tuple(jnp.flip(v, axis=1) for v in vals_in)
+    out = fill_gather(fk, fv, -query_keys)
+    return out[0] if single else out
+
+
 def gather_rows(data, idx):
     """Exact per-row gather data[n, idx[n, j]] via fill_gather (sorts)."""
     N, K = data.shape
