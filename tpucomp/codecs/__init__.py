@@ -13,4 +13,4 @@ O(log unit_size) row-wise gathers by pointer doubling rather than
 byte-at-a-time copies.
 """
 
-from . import lznt1  # noqa: F401
+from . import lznt1, xpress, xpress_huff  # noqa: F401

@@ -78,29 +78,16 @@ _M_U32_0, _M_U32_1, _M_U32_2, _M_U32_3 = 10, 11, 12, 13
 _COPY_BIT = 1 << 20
 
 
-@jax.jit
-def decode_batch(payload, plen, out_len):
-    """Decode a batch of independent Xpress unit streams.
+def make_decoder(u: int):
+    """Build a jitted decoder for unit capacity ``u``.
 
-    Args:
+    Args (of the returned function):
       payload: [N, P] int32 unit payload bytes (zero-padded).
       plen:    [N] int32 payload lengths.
       out_len: [N] int32 expected uncompressed length per unit (required:
                the format carries no size header — [MS-XCA] §2.4).
-
-    Returns (out [N, U], err [N]) where U = the static unit capacity
-    (out.shape[1] == the max out_len this batch was built for).
+    Returns (out [N, u], err [N]).
     """
-    N, P = payload.shape
-    U = int(_DECODE_U[0])  # static unit capacity, set by wrapper
-    return _decode_impl(payload, plen, out_len, U)
-
-
-_DECODE_U = [UNIT]
-
-
-def make_decoder(u: int):
-    """Build a jitted decoder for unit capacity ``u``."""
 
     @jax.jit
     def dec(payload, plen, out_len):
