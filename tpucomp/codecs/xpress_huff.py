@@ -605,10 +605,17 @@ def _min_code_len(streams):
     return m
 
 
-def decompress_units(streams, out_lens, unit_size=BLOCK):
-    """Decompress a batch of independent single-block XH streams."""
-    if not streams:
-        return []
+def _substeps_for(mcl: int) -> int:
+    """Symbol sub-loop unroll needed per refill: ceil(16/min_len)+1,
+    quantized to a small set to bound compile variants."""
+    need = -(-16 // max(mcl, 1)) + 1
+    for cap in (5, 9, 17):
+        if need <= cap:
+            return cap
+    return 17
+
+
+def _decode_bucket(streams, out_lens, unit_size, substeps):
     N = pad_batch(len(streams))
     # scan length = padded payload width; bucket to the batch's real max
     # (power-of-two body) so typical batches don't pay the 2x worst case
@@ -625,10 +632,6 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    mcl = _min_code_len(streams)
-    # one refill adds 16 bits; substeps must cover every symbol+offset
-    # completable before the next refill: ceil(16/min_len) + 1
-    substeps = -(-16 // max(mcl, 1)) + 1
     out, err = _dec_for(unit_size, substeps)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
@@ -639,3 +642,30 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
         out[i, : int(olen[i])].astype(np.uint8).tobytes()
         for i in range(len(streams))
     ]
+
+
+def decompress_units(streams, out_lens, unit_size=BLOCK):
+    """Decompress a batch of independent single-block XH streams.
+
+    Blocks are BUCKETED by their table's min code length: a single
+    skewed block (1-bit codes) would otherwise force the deepest symbol
+    sub-loop on the whole batch (the substeps unroll is a compile-time
+    shape).
+    """
+    if not streams:
+        return []
+    buckets = {}
+    for i, s in enumerate(streams):
+        ss = _substeps_for(_min_code_len([s]))
+        buckets.setdefault(ss, []).append(i)
+    results = [None] * len(streams)
+    for ss, idxs in sorted(buckets.items()):
+        outs = _decode_bucket(
+            [streams[i] for i in idxs],
+            [out_lens[i] for i in idxs],
+            unit_size,
+            ss,
+        )
+        for i, o in zip(idxs, outs):
+            results[i] = o
+    return results
