@@ -170,9 +170,7 @@ def main():
     sel = [i for i, ss in enumerate(per_ss) if ss == ss_major]
     sel_bytes = sum(len(units[i]) for i in sel)
     max_body = max(len(streams[i]) for i in sel) - 256
-    bb = 1024
-    while bb < max_body:
-        bb *= 2
+    bb = max(1024, -(-max_body // 8192) * 8192)
     P = min(xh.max_payload(U), 256 + bb + 16)
     NBD = max(8, len(sel))
     xp = np.zeros((NBD, P), np.int32)

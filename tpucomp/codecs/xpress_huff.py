@@ -620,9 +620,8 @@ def _decode_bucket(streams, out_lens, unit_size, substeps):
     # scan length = padded payload width; bucket to the batch's real max
     # (power-of-two body) so typical batches don't pay the 2x worst case
     max_body = max(len(s) for s in streams) - 256
-    body_bucket = 1024
-    while body_bucket < max_body:
-        body_bucket *= 2
+    # 8 KiB bucket granularity: scan length tracks the batch's real max
+    body_bucket = max(1024, -(-max_body // 8192) * 8192)
     P = min(max_payload(unit_size), 256 + body_bucket + 16)
     payload = np.zeros((N, P), np.int32)
     plen = np.zeros(N, np.int32)
