@@ -1,0 +1,88 @@
+"""Unit tests for the shared TPU kernel primitives."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpucomp.kernels.common import (
+    fill_gather,
+    fill_gather_left,
+    gather_rows,
+    resolve_copies,
+)
+
+
+def test_fill_gather_basic():
+    keys = jnp.asarray([[1, 3, 3, 7]])
+    vals = jnp.asarray([[10, 20, 21, 30]])
+    q = jnp.asarray([[0, 1, 2, 3, 4, 7, 9]])
+    out = np.asarray(fill_gather(keys, vals, q))[0]
+    # last entry with key <= q; ties -> last in original order; miss -> 0
+    assert list(out) == [0, 10, 10, 21, 21, 30, 30]
+
+
+def test_fill_gather_multival():
+    keys = jnp.asarray([[2, 5]])
+    v1 = jnp.asarray([[100, 200]])
+    v2 = jnp.asarray([[7, 9]])
+    q = jnp.asarray([[1, 2, 6]])
+    o1, o2 = fill_gather(keys, (v1, v2), q)
+    assert list(np.asarray(o1)[0]) == [0, 100, 200]
+    assert list(np.asarray(o2)[0]) == [0, 7, 9]
+
+
+def test_fill_gather_left():
+    keys = jnp.asarray([[1, 3, 3, 7]])
+    vals = jnp.asarray([[10, 20, 21, 30]])
+    q = jnp.asarray([[0, 2, 3, 4, 8]])
+    out = np.asarray(fill_gather_left(keys, vals, q))[0]
+    # first entry with key >= q; ties -> first in original order; miss -> 0
+    assert list(out) == [10, 20, 20, 30, 0]
+
+
+def test_gather_rows_exact(rng):
+    data = np.asarray(
+        [[rng.randrange(1000) for _ in range(64)] for _ in range(4)], np.int32
+    )
+    idx = np.asarray(
+        [[rng.randrange(64) for _ in range(32)] for _ in range(4)], np.int32
+    )
+    out = np.asarray(gather_rows(jnp.asarray(data), jnp.asarray(idx)))
+    for r in range(4):
+        assert (out[r] == data[r][idx[r]]).all()
+
+
+def test_resolve_copies_rle_and_far():
+    # row: 2 literals, a period-2 near copy, then a far copy (d=300)
+    U = 512
+    is_copy = np.zeros((1, U), bool)
+    disp = np.ones((1, U), np.int32)
+    litv = np.zeros((1, U), np.int32)
+    litv[0, 0] = 65
+    litv[0, 1] = 66
+    is_copy[0, 2:300] = True
+    disp[0, 2:300] = 2  # ABABAB...
+    is_copy[0, 300:400] = True
+    disp[0, 300:400] = 299  # far copy of [1..101)
+    out = np.asarray(
+        resolve_copies(
+            jnp.asarray(is_copy), jnp.asarray(disp), jnp.asarray(litv), window=64
+        )
+    )[0]
+    expect = [65, 66] * 150
+    assert list(out[:300]) == expect[:300]
+    assert list(out[300:400]) == list(out[1:101])
+
+
+def test_resolve_copies_deep_rle():
+    # chain depth == length: d=1 run resolves entirely in the window scan
+    U = 4096
+    is_copy = np.zeros((1, U), bool)
+    disp = np.ones((1, U), np.int32)
+    litv = np.zeros((1, U), np.int32)
+    litv[0, 0] = 77
+    is_copy[0, 1:] = True
+    out = np.asarray(
+        resolve_copies(jnp.asarray(is_copy), jnp.asarray(disp), jnp.asarray(litv))
+    )[0]
+    assert (out == 77).all()

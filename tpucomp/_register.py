@@ -14,11 +14,6 @@ from .oracle import xpress as _o_xpress
 from .oracle import xpress_huff as _o_xh
 
 
-def _wrap_c(fn):
-    def compressed(data: bytes, **opts) -> bytes:
-        return fn(data, **opts)
-
-    return compressed
 
 
 register(
