@@ -165,9 +165,16 @@ def main():
     # buckets blocks by min code length; outliers run separately)
     from collections import Counter
 
-    per_ss = [xh._substeps_for(xh._min_code_len([s])) for s in streams]
-    ss_major = Counter(per_ss).most_common(1)[0][0]
-    sel = [i for i, ss in enumerate(per_ss) if ss == ss_major]
+    def bucket_of(s):
+        return (
+            xh._substeps_for(xh._min_code_len([s])),
+            max(1024, -(-(len(s) - 256) // 8192) * 8192),
+        )
+
+    per_b = [bucket_of(s) for s in streams]
+    b_major = Counter(per_b).most_common(1)[0][0]
+    ss_major = b_major[0]
+    sel = [i for i, b in enumerate(per_b) if b == b_major]
     sel_bytes = sum(len(units[i]) for i in sel)
     max_body = max(len(streams[i]) for i in sel) - 256
     bb = max(1024, -(-max_body // 8192) * 8192)

@@ -656,9 +656,12 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
     buckets = {}
     for i, s in enumerate(streams):
         ss = _substeps_for(_min_code_len([s]))
-        buckets.setdefault(ss, []).append(i)
+        sizeb = max(1024, -(-(len(s) - 256) // 8192) * 8192)
+        # scan length is per-batch: also bucket by body size so one
+        # poorly-compressible block doesn't stretch every block's scan
+        buckets.setdefault((ss, sizeb), []).append(i)
     results = [None] * len(streams)
-    for ss, idxs in sorted(buckets.items()):
+    for (ss, _sb), idxs in sorted(buckets.items()):
         outs = _decode_bucket(
             [streams[i] for i in idxs],
             [out_lens[i] for i in idxs],
