@@ -221,9 +221,9 @@ def encode_batch(chunks, clen):
 
     # hash candidates, scored by capped word-compare
     w = le_words(chunks)
-    for cand in hash_candidates(chunks, pos_bits=12):
+    for cand in hash_candidates(chunks, pos_bits=12, num_cands=3):
         valid = cand >= 0
-        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n)
+        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n, cap=32)
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
     # clip to format + chunk limits
@@ -232,8 +232,14 @@ def encode_batch(chunks, clen):
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
 
     # ---- greedy commit + stream layout in ONE forward scan ----
-    # carry: next-commit position, token count, data-byte count
+    # Lazy matching: defer a match when the NEXT position has a strictly
+    # longer one (standard 1-step lazy heuristic; still a valid parse).
     step_adv = jnp.where(is_match, best_len, 1)
+    next_bl = jnp.concatenate(
+        [best_len[:, 1:], jnp.zeros((N, 1), jnp.int32)], axis=1
+    )
+    lazy = is_match & (next_bl > best_len)
+    use_match = is_match & ~lazy
 
     def fwd_step(carry, xs):
         nc, tcnt, dbytes = carry
@@ -249,7 +255,7 @@ def encode_batch(chunks, clen):
     xs = (
         pcols,
         step_adv.T,
-        is_match.T,
+        use_match.T,
         (pos < in_len).T,
     )
     init = (jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32))
@@ -266,7 +272,7 @@ def encode_batch(chunks, clen):
     iscp_tm, len_tm, disp_tm, dsh_tm, lit_tm, dbefore_tm = fill_gather_left(
         t_after,
         (
-            (committed & is_match).astype(jnp.int32),
+            (committed & use_match).astype(jnp.int32),
             best_len,
             best_disp,
             jnp.broadcast_to(d_shift, (N, n)).astype(jnp.int32),

@@ -333,14 +333,19 @@ def _encode_impl(units, ulen, U):
     for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
     w = le_words(units)
-    for cand in hash_candidates(units):
+    for cand in hash_candidates(units, num_cands=3):
         disp = pos - cand
         valid = (cand >= 0) & (disp <= WINDOW)
-        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n)
+        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n, cap=32)
         consider(ml, disp, valid & (ml >= MIN_MATCH))
 
     best_len = jnp.minimum(best_len, in_len - pos)
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
+    # lazy matching: defer when the next position matches strictly longer
+    next_bl = jnp.concatenate(
+        [best_len[:, 1:], jnp.zeros((N, 1), jnp.int32)], axis=1
+    )
+    is_match = is_match & ~(next_bl > best_len)
 
     # ---- greedy commit + layout scan (threads shared-nibble state) ----
     def fwd_step(carry, xs):
