@@ -204,6 +204,46 @@ def main():
     extras["xh_decode_GBps"] = round(xh_nbytes / t_dec_xh / 1e9, 4)
     extras["xh_substeps"] = ss_major
 
+    # ================= Xpress plain (BASELINE config 2) =================
+    from tpucomp.codecs import xpress as xp_mod
+
+    XU = 65536
+    xp_units = [data[i : i + XU] for i in range(0, nbytes, XU)]
+    xp_streams = xp_mod.compress_units(xp_units, unit_size=XU)
+    xp_out = xp_mod.decompress_units(
+        xp_streams, [len(u) for u in xp_units], unit_size=XU
+    )
+    assert b"".join(xp_out) == data, "xpress roundtrip mismatch"
+    extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / nbytes, 4)
+    NX = max(8, len(xp_units))
+    xb = np.zeros((NX, XU), np.int32)
+    xbl = np.zeros(NX, np.int32)
+    for i, u in enumerate(xp_units):
+        a = np.frombuffer(u, np.uint8)
+        xb[i, : len(a)] = a
+        xbl[i] = len(a)
+    d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
+    t_enc_xp = host_chained(
+        lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1], (d_xb, d_xbl), reps=4
+    )
+    extras["xpress_encode_GBps"] = round(nbytes / t_enc_xp / 1e9, 4)
+    PX = xp_mod.max_payload(XU)
+    xpp = np.zeros((NX, PX), np.int32)
+    xpl = np.zeros(NX, np.int32)
+    xpo = np.zeros(NX, np.int32)
+    for i, s in enumerate(xp_streams):
+        a = np.frombuffer(s, np.uint8)
+        xpp[i, : len(a)] = a
+        xpl[i] = len(a)
+        xpo[i] = len(xp_units[i])
+    d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
+    t_dec_xp = host_chained(
+        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU)[0][:, 0],
+        (d_xpp, d_xpl, d_xpo),
+        reps=4,
+    )
+    extras["xpress_decode_GBps"] = round(nbytes / t_dec_xp / 1e9, 4)
+
     # headline: aggregate decode throughput over both formats
     dec_gbps = (nbytes + xh_nbytes) / (t_dec_lz + t_dec_xh) / 1e9
     print(
