@@ -61,3 +61,19 @@ def test_checkpoint_resume(corpus):
     resumed = sc.compress(data, resume=partial)
     assert resumed.to_bytes() == full.to_bytes()
     assert sc.decompress(resumed) == data
+
+
+def test_mixed_format_batch(corpus):
+    from tpucomp.dist.mixed import MixedBatch
+
+    jobs = [
+        (Format.LZNT1, corpus(20000)),
+        (Format.XPRESS_HUFF, corpus(12000)),
+        (Format.XPRESS, corpus(9000)),
+        (Format.LZNT1, corpus(5000)),
+    ]
+    mb = MixedBatch(unit_sizes={Format.XPRESS: 4096, Format.XPRESS_HUFF: 4096})
+    archives = mb.compress(jobs)
+    outs = mb.decompress(archives)
+    for (fmt, data), out in zip(jobs, outs):
+        assert out == data, fmt

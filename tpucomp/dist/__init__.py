@@ -20,3 +20,4 @@ from .mesh import data_mesh, local_device_count  # noqa: F401
 from .batch import ShardedLZNT1  # noqa: F401
 from .archive import Archive, Manifest  # noqa: F401
 from .sharded import ShardedCodec  # noqa: F401
+from .mixed import MixedBatch  # noqa: F401
