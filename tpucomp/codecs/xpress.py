@@ -101,157 +101,128 @@ def _decode_impl(payload, plen, out_len, U):
     bytes_T = payload.T
     steps = jnp.arange(P, dtype=jnp.int32)
 
+    # The scan body uses int32 0/1 MASKS instead of bool arrays throughout:
+    # measured on this chip, bool-typed scan intermediates cost ~3.4x in
+    # runtime and ~100x in compile time (sub-tile bool layouts).  The mode
+    # predicates partition active rows, so selects become masked sums.
+    def m(c):
+        return c.astype(jnp.int32)
+
+    def sel(mk, a, b):  # mk in {0,1}: mk ? a : b (exact int arithmetic)
+        return b + mk * (a - b)
+
     def step(carry, xs):
         (p, mode, flags, nflags, pend_lo, pend_len, nib_have, nib_val,
          rpos, rval, err) = carry
         b, s = xs
-        active = (s < plen) & (p < out_len)
+        active = m(s < plen) * m(p < out_len)
 
-        is_f = active & (mode <= _M_F3)
-        is_tok = active & (mode == _M_TOK)
-        is_hi = active & (mode == _M_HI)
-        is_nib = active & (mode == _M_NIB)
-        is_esc = active & (mode == _M_ESC)
-        is_u16a = active & (mode == _M_U16_0)
-        is_u16b = active & (mode == _M_U16_1)
-        is_u32 = active & (mode >= _M_U32_0)
-        is_u32d = active & (mode == _M_U32_3)
+        is_f = active * m(mode <= _M_F3)
+        is_tok = active * m(mode == _M_TOK)
+        is_hi = active * m(mode == _M_HI)
+        is_nib = active * m(mode == _M_NIB)
+        is_esc = active * m(mode == _M_ESC)
+        is_u16a = active * m(mode == _M_U16_0)
+        is_u16b = active * m(mode == _M_U16_1)
+        is_u32nd = active * m(mode >= _M_U32_0) * m(mode < _M_U32_3)
+        is_u32d = active * m(mode == _M_U32_3)
 
         # ---- flag word accumulation (LE bytes; consumed MSB-first) ----
-        flags = jnp.where(is_f, flags | (b << ((mode & 3) * 8)), flags)
-        f_done = active & (mode == _M_F3)
-        nflags = jnp.where(f_done, 32, nflags)
+        flags = sel(is_f, flags | (b << ((mode & 3) * 8)), flags)
+        f_done = active * m(mode == _M_F3)
+        nflags = sel(f_done, jnp.int32(32), nflags)
 
         bit = (flags >> 31) & 1
-        is_lit = is_tok & (bit == 0)
-        is_lo = is_tok & (bit == 1)
+        is_lit = is_tok * m(bit == 0)
+        is_lo = is_tok * m(bit == 1)
 
         # ---- match hi: offset + short length, maybe complete ----
         tok = pend_lo | (b << 8)
-        offset = (tok >> 3) + 1
         L0 = tok & 7
-        hi_short = is_hi & (L0 < 7)  # complete now, len = L0 + 3
-        hi_esc = is_hi & (L0 == 7)
+        hi_short = is_hi * m(L0 < 7)  # complete now, len = L0 + 3
+        hi_esc = is_hi * m(L0 == 7)
         # second nibble use completes (or escalates) without a byte
-        use_stored = hi_esc & nib_have
-        stored_lt15 = use_stored & (nib_val < 15)
-        stored_esc = use_stored & (nib_val == 15)
-        need_nib = hi_esc & ~nib_have
+        use_stored = hi_esc * nib_have
+        stored_lt15 = use_stored * m(nib_val < 15)
+        stored_esc = use_stored * m(nib_val == 15)
+        need_nib = hi_esc * (1 - nib_have)
 
         # ---- nibble byte ----
         nib_lo = b & 0xF
-        nib_done = is_nib & (nib_lo < 15)
-        nib_esc = is_nib & (nib_lo == 15)
+        nib_done = is_nib * m(nib_lo < 15)
+        nib_esc = is_nib * m(nib_lo == 15)
 
         # ---- escape byte / u16 / u32 ----
-        esc_done = is_esc & (b < 255)
-        esc_u16 = is_esc & (b == 255)
+        esc_done = is_esc * m(b < 255)
+        esc_u16 = is_esc * m(b == 255)
         u16v = pend_len | (b << 8)
-        u16_zero = is_u16b & (u16v == 0)
-        u16_done = is_u16b & (u16v != 0)
+        u16_zero = is_u16b * m(u16v == 0)
+        u16_done = is_u16b * m(u16v != 0)
         u32v = pend_len | (b << 24)
         u32_done = is_u32d
 
-        # length per completion path (match length, final)
-        m_len = jnp.where(
-            hi_short, L0 + MIN_MATCH,
-            jnp.where(
-                stored_lt15, nib_val + 7 + MIN_MATCH,
-                jnp.where(
-                    nib_done, nib_lo + 7 + MIN_MATCH,
-                    jnp.where(
-                        esc_done, b + 22 + MIN_MATCH,
-                        jnp.where(
-                            u16_done, u16v + MIN_MATCH,
-                            u32v + MIN_MATCH,  # u32_done
-                        ),
-                    ),
-                ),
-            ),
+        # completion paths are mutually exclusive: masked sum
+        m_len = (
+            hi_short * (L0 + MIN_MATCH)
+            + stored_lt15 * (nib_val + 7 + MIN_MATCH)
+            + nib_done * (nib_lo + 7 + MIN_MATCH)
+            + esc_done * (b + 22 + MIN_MATCH)
+            + u16_done * (u16v + MIN_MATCH)
+            + u32_done * (u32v + MIN_MATCH)
         )
         m_done = hi_short | stored_lt15 | nib_done | esc_done | u16_done | u32_done
-        err = err | (u16_done & (u16v < 22)) | (u32_done & (u32v < 22))
+        err = err | (u16_done * m(u16v < 22)) | (u32_done * m(u32v < 22))
 
         # shared-nibble state: first use stores the high nibble
-        nib_have2 = jnp.where(is_nib, True, jnp.where(use_stored, False, nib_have))
-        nib_val2 = jnp.where(is_nib, b >> 4, nib_val)
+        nib_have = sel(is_nib, jnp.int32(1), sel(use_stored, jnp.int32(0), nib_have))
+        nib_val = sel(is_nib, b >> 4, nib_val)
 
-        # pending offset survives across escape bytes
-        pend_lo2 = jnp.where(is_lo, b, jnp.where(is_hi, tok, pend_lo))
-        # after M_HI, pend_lo holds the full token (offset recoverable)
-        m_off = (pend_lo2 >> 3) + 1
-        m_off = jnp.where(is_hi, offset, m_off)
+        # pending offset survives across escape bytes (is_hi stores the
+        # full token, so (pend_lo >> 3) + 1 is the offset from then on)
+        pend_lo = sel(is_lo, b, sel(is_hi, tok, pend_lo))
+        m_off = (pend_lo >> 3) + 1
 
-        pend_len2 = jnp.where(
-            is_u16a | (active & (mode == _M_U32_0)), b,
-            jnp.where(
-                active & (mode == _M_U32_1), pend_len | (b << 8),
-                jnp.where(
-                    active & (mode == _M_U32_2), pend_len | (b << 16),
-                    pend_len,
-                ),
+        pend_len = sel(
+            is_u16a | (active * m(mode == _M_U32_0)), b,
+            sel(
+                active * m(mode == _M_U32_1), pend_len | (b << 8),
+                sel(active * m(mode == _M_U32_2), pend_len | (b << 16), pend_len),
             ),
         )
 
         # ---- records + output advance ----
-        err = err | (is_lit & (p >= out_len))
-        err = err | (m_done & ((m_off > p) | (p + m_len > out_len)))
-        rpos = jnp.where(is_lit | m_done, p, rpos)
-        rval = jnp.where(
-            is_lit, b, jnp.where(m_done, _COPY_BIT | m_off, rval)
-        )
-        adv = jnp.where(is_lit, 1, jnp.where(m_done, m_len, 0))
-        p = jnp.minimum(p + adv, U)
+        err = err | (m_done * (m(m_off > p) | m(p + m_len > out_len)))
+        rec_new = is_lit | m_done
+        rpos = sel(rec_new, p, rpos)
+        rval = sel(is_lit, b, sel(m_done, _COPY_BIT | m_off, rval))
+        p = jnp.minimum(p + is_lit + m_done * m_len, U)
 
         # ---- flag-bit consumption on token completion ----
-        done_tok = is_lit | m_done
-        flags = jnp.where(done_tok, flags << 1, flags)  # int32 wraps mod 2^32
-        nflags = jnp.where(done_tok, nflags - 1, nflags)
+        flags = sel(rec_new, flags << 1, flags)  # int32 wraps mod 2^32
+        nflags = nflags - rec_new
 
-        # ---- next mode ----
-        mode2 = jnp.where(
-            is_f, jnp.where(f_done, _M_TOK, mode + 1),
-            jnp.where(
-                is_lit, _M_TOK,
-                jnp.where(
-                    is_lo, _M_HI,
-                    jnp.where(
-                        need_nib, _M_NIB,
-                        jnp.where(
-                            stored_esc, _M_ESC,
-                            jnp.where(
-                                nib_esc, _M_ESC,
-                                jnp.where(
-                                    esc_u16, _M_U16_0,
-                                    jnp.where(
-                                        is_u16a, _M_U16_1,
-                                        jnp.where(
-                                            u16_zero, _M_U32_0,
-                                            jnp.where(
-                                                is_u32 & ~is_u32d, mode + 1,
-                                                _M_TOK,  # any completion
-                                            ),
-                                        ),
-                                    ),
-                                ),
-                            ),
-                        ),
-                    ),
-                ),
-            ),
+        # ---- next mode: exclusive-mask sum over the partition ----
+        mode2 = (
+            is_f * sel(f_done, jnp.int32(_M_TOK), mode + 1)
+            + is_lit * _M_TOK
+            + is_lo * _M_HI
+            + need_nib * _M_NIB
+            + (stored_esc | nib_esc) * _M_ESC
+            + esc_u16 * _M_U16_0
+            + is_u16a * _M_U16_1
+            + u16_zero * _M_U32_0
+            + is_u32nd * (mode + 1)
+            + m_done * _M_TOK
+            + (1 - active) * mode
         )
-        # fresh flag word when the group is exhausted
-        mode2 = jnp.where(
-            done_tok & (nflags == 0) & (mode2 == _M_TOK), _M_F0, mode2
-        )
-        # stored_esc consumed NO byte this step but the machine must still
-        # process the incoming byte b as the escape byte?  No: stored_esc
-        # happens during the M_HI step, whose byte b WAS the hi byte; the
-        # next byte is the escape byte — mode transition above is correct.
+        # fresh flag word when the group is exhausted (_M_F0 == 0)
+        fresh = rec_new * m(nflags == 0) * m(mode2 == _M_TOK)
+        mode2 = mode2 * (1 - fresh)
+        flags = flags * m(mode2 != _M_F0)
 
         return (
-            (p, mode2, jnp.where(f_done | (mode2 == _M_F0), jnp.where(mode2 == _M_F0, 0, flags), flags),
-             nflags, pend_lo2, pend_len2, nib_have2, nib_val2, rpos, rval, err),
+            (p, mode2, flags, nflags, pend_lo, pend_len, nib_have, nib_val,
+             rpos, rval, err),
             (rpos, rval),
         )
 
@@ -263,15 +234,15 @@ def _decode_impl(payload, plen, out_len, U):
         z,                              # nflags
         z,                              # pend_lo
         z,                              # pend_len
-        jnp.zeros(N, jnp.bool_),        # nib_have
+        z,                              # nib_have (int mask)
         z,                              # nib_val
         jnp.full((N,), -1, jnp.int32),  # rpos
         z,                              # rval
-        jnp.zeros(N, jnp.bool_),        # err
+        z,                              # err (int mask)
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
     p_final = carry[0]
-    err = carry[-1] | (p_final < out_len)
+    err = (carry[-1] | (p_final < out_len).astype(jnp.int32)) != 0
 
     rec_pos = rec_pos_T.T
     rec_val = rec_val_T.T

@@ -115,104 +115,102 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
     steps = jnp.arange(P - 256, dtype=jnp.int32)
     blen = plen - 256  # body length per row
 
+    # int32 0/1 masks throughout (bool scan intermediates measured ~3.4x
+    # slower + ~100x compile; see tpucomp/codecs/xpress.py)
+    def mk(c):
+        return c.astype(jnp.int32)
+
+    def sel(mask, a, bb):  # mask in {0,1}: mask ? a : bb
+        return bb + mask * (a - bb)
+
     def decode_symbol(bitbuf):
         """Arithmetic canonical decode from the top 15 window bits.
-        Returns (sym, length) — valid only when a level matches."""
+        Returns (sym, length, found-mask)."""
         peek15 = (bitbuf >> 17) & 0x7FFF
         # level l matches when fc[l] <= peek_l < lim[l], peek_l = top l bits
         peek_l = peek15[:, None] >> (15 - iota16)  # [N, 16]
-        okl = (peek_l >= fc) & (peek_l < lim) & (iota16 > 0)
+        okl = mk(peek_l >= fc) * mk(peek_l < lim) * mk(iota16 > 0)
         # first matching level
-        l = jnp.min(jnp.where(okl, iota16, 99), axis=1)
-        found = l <= MAX_CODE_LEN
+        l = jnp.min(sel(okl, iota16, jnp.int32(99)), axis=1)
+        found = mk(l <= MAX_CODE_LEN)
         lc = jnp.minimum(l, MAX_CODE_LEN)
         # select fc/br at level lc (one-hot over 16)
-        ohl = lc[:, None] == iota16
-        fc_l = jnp.sum(jnp.where(ohl, fc, 0), axis=1)
-        br_l = jnp.sum(jnp.where(ohl, br, 0), axis=1)
-        peek_lc = jnp.sum(jnp.where(ohl, peek_l, 0), axis=1)
+        ohl = mk(lc[:, None] == iota16)
+        fc_l = jnp.sum(ohl * fc, axis=1)
+        br_l = jnp.sum(ohl * br, axis=1)
+        peek_lc = jnp.sum(ohl * peek_l, axis=1)
         rank = br_l + (peek_lc - fc_l)
         # rank -> symbol (one-hot over 512)
-        ohr = rank[:, None] == iota512
-        sym = jnp.sum(jnp.where(ohr, sym_by_rank, 0), axis=1)
+        ohr = mk(rank[:, None] == iota512)
+        sym = jnp.sum(ohr * sym_by_rank, axis=1)
         return sym, lc, found
 
     def step(carry, xs):
         (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
          len_acc, rpos, rval, err) = carry
         b, s = xs
-        active = (s < blen) & (p < out_len)
+        active = mk(s < blen) * mk(p < out_len)
 
         # ---- byte role ----
-        is_w0 = active & (mode == _M_W0)
-        is_w1 = active & (mode == _M_W1)
-        is_eb = active & (mode == _M_EB)
-        is_e16a = active & (mode == _M_E16A)
-        is_e16b = active & (mode == _M_E16B)
-        is_e32 = active & (mode >= _M_E32A)
-        is_e32d = active & (mode == _M_E32D)
+        is_w0 = active * mk(mode == _M_W0)
+        is_w1 = active * mk(mode == _M_W1)
+        is_eb = active * mk(mode == _M_EB)
+        is_e16a = active * mk(mode == _M_E16A)
+        is_e16b = active * mk(mode == _M_E16B)
+        is_e32nd = active * mk(mode >= _M_E32A) * mk(mode < _M_E32D)
+        is_e32d = active * mk(mode == _M_E32D)
 
-        lowbyte = jnp.where(is_w0, b, lowbyte)
+        lowbyte = sel(is_w0, b, lowbyte)
         # escape u16/u32 accumulation
-        len_acc = jnp.where(
-            is_e16a | (active & (mode == _M_E32A)), b,
-            jnp.where(
-                active & (mode == _M_E32B), len_acc | (b << 8),
-                jnp.where(
-                    active & (mode == _M_E32C), len_acc | (b << 16),
-                    len_acc,
-                ),
+        len_acc = sel(
+            is_e16a | (active * mk(mode == _M_E32A)), b,
+            sel(
+                active * mk(mode == _M_E32B), len_acc | (b << 8),
+                sel(active * mk(mode == _M_E32C), len_acc | (b << 16), len_acc),
             ),
         )
 
         # word refill completes on W1
         word = lowbyte | (b << 8)
-        bitbuf = jnp.where(
-            is_w1, bitbuf | (word << (16 - bitcount)), bitbuf
-        )
-        bitcount = jnp.where(is_w1, bitcount + 16, bitcount)
+        bitbuf = sel(is_w1, bitbuf | (word << (16 - bitcount)), bitbuf)
+        bitcount = bitcount + is_w1 * 16
 
         # ---- escape completions (produce a finished match) ----
-        eb_done = is_eb & (b < 255)
-        eb_more = is_eb & (b == 255)
+        eb_done = is_eb * mk(b < 255)
+        eb_more = is_eb * mk(b == 255)
         u16v = len_acc | (b << 8)
-        e16_zero = is_e16b & (u16v == 0)
-        e16_done = is_e16b & (u16v != 0)
+        e16_zero = is_e16b * mk(u16v == 0)
+        e16_done = is_e16b * mk(u16v != 0)
         u32v = len_acc | (b << 24)
         e32_done = is_e32d
-        esc_len = jnp.where(
-            eb_done, b + 15 + MIN_MATCH,
-            jnp.where(e16_done, u16v + MIN_MATCH, u32v + MIN_MATCH),
+        esc_len = (
+            eb_done * (b + 15 + MIN_MATCH)
+            + e16_done * (u16v + MIN_MATCH)
+            + e32_done * (u32v + MIN_MATCH)
         )
         esc_match = eb_done | e16_done | e32_done
-        err = err | (esc_match & ((off_p > p) | (p + esc_len > out_len)))
-        rpos = jnp.where(esc_match, p, rpos)
-        rval = jnp.where(esc_match, _COPY_BIT | off_p, rval)
-        p = jnp.where(esc_match, jnp.minimum(p + esc_len, U), p)
+        err = err | (esc_match * (mk(off_p > p) | mk(p + esc_len > out_len)))
+        rpos = sel(esc_match, p, rpos)
+        rval = sel(esc_match, _COPY_BIT | off_p, rval)
+        p = sel(esc_match, jnp.minimum(p + esc_len, U), p)
 
-        mode = jnp.where(
-            is_w0, _M_W1,
-            jnp.where(
-                eb_more, _M_E16A,
-                jnp.where(
-                    is_e16a, _M_E16B,
-                    jnp.where(
-                        e16_zero, _M_E32A,
-                        jnp.where(
-                            is_e32 & ~is_e32d, mode + 1,
-                            _M_W0,  # provisional; overridden below
-                        ),
-                    ),
-                ),
-            ),
+        mode = (
+            is_w0 * _M_W1
+            + eb_more * _M_E16A
+            + is_e16a * _M_E16B
+            + e16_zero * _M_E32A
+            + is_e32nd * (mode + 1)
+            + (1 - active) * mode
+            # all completion/W1 paths -> provisional _M_W0 (== 0);
+            # overridden after the sub-loop
         )
-        pend = jnp.where(esc_match, _P_NONE, pend)
+        pend = pend * (1 - esc_match)  # esc_match -> _P_NONE (== 0)
 
         # ---- symbol sub-loop after a completed refill / escape ----
         # The 32-bit prime: no decoding until the second word (s >= 3),
         # mirroring the spec reader ([MS-XCA] §2.2.4) so early escape
         # bytes land after the 4-byte prime.
-        can_work = active & (esc_match | (is_w1 & (s >= 3)))
+        can_work = active * (esc_match | (is_w1 * mk(s >= 3)))
         work = can_work
         # snapshot after EVERY record-producing point: the pre-loop escape
         # completion, each substep's offset-completion, and each substep's
@@ -221,38 +219,38 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
         recs = [(rpos, rval)]
         for _ in range(SUBSTEPS):
             # 1) pending offset bits
-            do_off = work & (pend == _P_OFFSET) & (bitcount >= obc_p)
+            do_off = work * mk(pend == _P_OFFSET) * mk(bitcount >= obc_p)
             obc_c = jnp.maximum(obc_p, 1)
             raw = (bitbuf >> (32 - obc_c)) & (jnp.left_shift(1, obc_c) - 1)
-            raw = jnp.where(obc_p > 0, raw, 0)
+            raw = raw * mk(obc_p > 0)
             offv = jnp.left_shift(1, obc_p) | raw
-            bitbuf = jnp.where(do_off, bitbuf << obc_p, bitbuf)
-            bitcount = jnp.where(do_off, bitcount - obc_p, bitcount)
-            short = do_off & (lh_p < 15)
+            bitbuf = sel(do_off, bitbuf << obc_p, bitbuf)
+            bitcount = bitcount - do_off * obc_p
+            short = do_off * mk(lh_p < 15)
             mlen = lh_p + MIN_MATCH
-            err = err | (short & ((offv > p) | (p + mlen > out_len)))
-            rpos = jnp.where(short, p, rpos)
-            rval = jnp.where(short, _COPY_BIT | offv, rval)
-            p = jnp.where(short, jnp.minimum(p + mlen, U), p)
-            off_p = jnp.where(do_off, offv, off_p)
-            pend = jnp.where(short, _P_NONE, jnp.where(do_off, _P_ESC, pend))
+            err = err | (short * (mk(offv > p) | mk(p + mlen > out_len)))
+            rpos = sel(short, p, rpos)
+            rval = sel(short, _COPY_BIT | offv, rval)
+            p = sel(short, jnp.minimum(p + mlen, U), p)
+            off_p = sel(do_off, offv, off_p)
+            pend = sel(short, jnp.int32(_P_NONE), sel(do_off, jnp.int32(_P_ESC), pend))
             recs.append((rpos, rval))
             # 2) fresh symbol
-            do_sym = work & (pend == _P_NONE) & (bitcount >= 16) & (p < out_len)
+            do_sym = work * mk(pend == _P_NONE) * mk(bitcount >= 16) * mk(p < out_len)
             sym, slen, found = decode_symbol(bitbuf)
-            do_sym = do_sym & found
-            bitbuf = jnp.where(do_sym, bitbuf << slen, bitbuf)
-            bitcount = jnp.where(do_sym, bitcount - slen, bitcount)
-            is_lit = do_sym & (sym < 256)
-            rpos = jnp.where(is_lit, p, rpos)
-            rval = jnp.where(is_lit, sym, rval)
-            p = jnp.where(is_lit, p + 1, p)
-            is_m = do_sym & (sym >= 256)
-            m = sym - 256
-            obc_p = jnp.where(is_m, m >> 4, obc_p)
-            lh_p = jnp.where(is_m, m & 0xF, lh_p)
-            pend = jnp.where(is_m, _P_OFFSET, pend)
-            work = work & (p < out_len)
+            do_sym = do_sym * found
+            bitbuf = sel(do_sym, bitbuf << slen, bitbuf)
+            bitcount = bitcount - do_sym * slen
+            is_lit = do_sym * mk(sym < 256)
+            rpos = sel(is_lit, p, rpos)
+            rval = sel(is_lit, sym, rval)
+            p = p + is_lit
+            is_m = do_sym * mk(sym >= 256)
+            msym = sym - 256
+            obc_p = sel(is_m, msym >> 4, obc_p)
+            lh_p = sel(is_m, msym & 0xF, lh_p)
+            pend = sel(is_m, jnp.int32(_P_OFFSET), pend)
+            work = work * mk(p < out_len)
             recs.append((rpos, rval))
 
         # SUBSTEPS must cover every symbol completable from one refill;
@@ -262,22 +260,23 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
         # this).
         leftover = (
             can_work
-            & (p < out_len)
-            & (
-                ((pend == _P_NONE) & (bitcount >= 16))
-                | ((pend == _P_OFFSET) & (bitcount >= obc_p))
+            * mk(p < out_len)
+            * (
+                (mk(pend == _P_NONE) * mk(bitcount >= 16))
+                | (mk(pend == _P_OFFSET) * mk(bitcount >= obc_p))
             )
         )
         err = err | leftover
 
-        need_refill = bitcount < 16
-        mode = jnp.where(
+        need_refill = mk(bitcount < 16)
+        mode = sel(
             can_work,
-            jnp.where((pend == _P_ESC) & ~need_refill, _M_EB, _M_W0),
+            sel(mk(pend == _P_ESC) * (1 - need_refill), jnp.int32(_M_EB),
+                jnp.int32(_M_W0)),
             mode,
         )
 
-        rec_pos_s = jnp.stack([r[0] for r in recs], axis=1)  # [N, SUBSTEPS]
+        rec_pos_s = jnp.stack([r[0] for r in recs], axis=1)  # [N, NREC]
         rec_val_s = jnp.stack([r[1] for r in recs], axis=1)
         return (
             (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
@@ -299,11 +298,11 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
         z,  # len_acc
         jnp.full((N,), -1, jnp.int32),  # rpos
         z,  # rval
-        jnp.zeros(N, jnp.bool_),  # err
+        z,  # err (int mask)
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
     p_final = carry[0]
-    err = carry[-1] | (p_final < out_len)
+    err = (carry[-1] | (p_final < out_len).astype(jnp.int32)) != 0
 
     # [steps, N, NREC] -> [N, steps*NREC], chronological + monotone
     S, _, NREC = rec_pos_T.shape
