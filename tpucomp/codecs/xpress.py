@@ -42,6 +42,7 @@ from ..kernels.common import (
     capped_matchlen,
     fill_gather,
     fill_gather_left,
+    greedy_commit,
     hash_candidates,
     le_words,
     resolve_copies,
@@ -318,37 +319,25 @@ def _encode_impl(units, ulen, U):
     )
     is_match = is_match & ~(next_bl > best_len)
 
-    # ---- greedy commit + layout scan (threads shared-nibble state) ----
-    def fwd_step(carry, xs):
-        nc, tcnt, dbytes, nib_par = carry
-        pcol, blen, ismatch, okpos = xs
-        commit = (pcol == nc) & okpos
-        iscp = commit & ismatch
-        L = blen - MIN_MATCH
-        nib_user = iscp & (L >= 7)
-        opens = nib_user & (nib_par == 0)
-        closes = nib_user & (nib_par == 1)
-        extra, _, _, _ = _match_extra_sizes(L, opens)
-        tok_sz = jnp.where(iscp, 2 + extra, jnp.where(commit, 1, 0))
-        # nibble byte sits right after the 2-byte token of the opener
-        nib_pos_here = dbytes + 2
-        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, blen, 1), nc)
-        t_after = tcnt + commit.astype(jnp.int32)
-        d_after = dbytes + tok_sz
-        nib_par2 = jnp.where(nib_user, 1 - nib_par, nib_par)
-        return (nc2, t_after, d_after, nib_par2), (
-            commit, iscp, t_after, dbytes, opens, nib_pos_here
-        )
-
-    xs = (pos.T, best_len.T, is_match.T, (pos < in_len).T)
-    z = jnp.zeros(N, jnp.int32)
-    (nc_f, T_total, data_total, _), ys = lax.scan(
-        fwd_step, (z, z, z, z), xs
+    # ---- greedy commit (K-unrolled) + closed-form sizes/nibble state ----
+    # The shared-nibble pairing is a prefix property: the k-th committed
+    # nibble-user opens a fresh nibble byte iff k is even, so parity (and
+    # every byte offset) follows from cumsums over the committed parse.
+    committed = greedy_commit(is_match, best_len, pos < in_len)
+    iscp_pm = committed & is_match
+    L_pm = best_len - MIN_MATCH
+    nib_user = iscp_pm & (L_pm >= 7)
+    nu_cum = jnp.cumsum(nib_user.astype(jnp.int32), axis=1)
+    opens_pm = nib_user & (((nu_cum - nib_user.astype(jnp.int32)) & 1) == 0)
+    extra_pm, _, _, _ = _match_extra_sizes(L_pm, opens_pm)
+    tok_sz = jnp.where(
+        iscp_pm, 2 + extra_pm, jnp.where(committed, 1, 0)
     )
-    committed = ys[0].T
-    t_after = ys[2].T
-    data_before = ys[3].T
-    opens_pm = ys[4].T  # position-major "this token opens a nibble byte"
+    d_cum = jnp.cumsum(tok_sz, axis=1)
+    data_before = d_cum - tok_sz
+    data_total = d_cum[:, -1]
+    t_after = jnp.cumsum(committed.astype(jnp.int32), axis=1)
+    T_total = t_after[:, -1]
 
     # ---- token-major views: ONE multi-value sort fill ----
     tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))

@@ -41,6 +41,8 @@ from ..util import pad_batch
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
+    fill_gather_left,
+    greedy_commit,
     hash_candidates,
     le_words,
     resolve_copies,
@@ -372,19 +374,8 @@ def _encode_impl(units, ulen, U):
     )
     is_match = is_match & ~(next_bl > best_len)
 
-    # ---- greedy commit scan ----
-    def commit_step(nc, xs):
-        pcol, blen, ismatch, okpos = xs
-        commit = (pcol == nc) & okpos
-        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, blen, 1), nc)
-        return nc2, commit
-
-    _, committed_T = lax.scan(
-        commit_step,
-        jnp.zeros(N, jnp.int32),
-        (pos.T, best_len.T, is_match.T, (pos < in_len).T),
-    )
-    committed = committed_T.T
+    # ---- greedy commit (K-unrolled sequential walk) ----
+    committed = greedy_commit(is_match, best_len, pos < in_len)
     tok_copy = committed & is_match
 
     # ---- per-position symbols ----
@@ -421,7 +412,15 @@ def _encode_impl(units, ulen, U):
     code_p = codelen_p >> 5
     clen_p = codelen_p & 0x1F
 
-    # ---- layout scan: lazy-flush 16-bit-LE word writer ----
+    # ---- closed-form bitstream layout (no scan) ----
+    # The reference's lazy-flush 16-bit-LE word writer is a pure function
+    # of cumulative bits: bitcount stays in [0, 16] after every write
+    # (each write is <= 15 bits, flush when > 16), so after B total bits
+    # the flushed-word count is (B-1)>>4 and word w holds global bits
+    # [16w, 16w+16) MSB-first.  Token bit offsets are one cumsum; each
+    # <=15-bit field spans at most 2 words; word values assemble with a
+    # segmented-OR sort fill; escape-byte interleaving positions follow
+    # from per-token flush counts (decoder reads 2 words ahead).
     offraw = best_disp & (jnp.left_shift(1, obc) - 1)
     rem = L - 15
     has_esc = tok_copy & (lh == 15)
@@ -431,110 +430,88 @@ def _encode_impl(units, ulen, U):
     # u16 escape value = L (always < 0x10000 for U <= 65536)
     esc_pack = esc_b0 | ((L & 0xFF) << 8) | (((L >> 8) & 0xFF) << 16)
 
-    def lay_step(carry, xs):
-        bitbuf, bitcount, flushes, rawb = carry
-        (com, iscp, codec, lenc, obcc, rawv, nr, epack) = xs
+    clen_p = jnp.where(committed, clen_p, 0)
+    code_v = jnp.where(committed, code_p, 0)
+    bitsA = clen_p  # huffman code field
+    bitsB = jnp.where(tok_copy, obc, 0)  # offset raw-bits field
+    offraw_v = jnp.where(tok_copy, offraw, 0)
+    bits_tok = bitsA + bitsB
+    Bafter = jnp.cumsum(bits_tok, axis=1)
+    S_A = Bafter - bits_tok  # field A global bit offset
+    S_B = S_A + bitsA
+    ebytes = jnp.where(tok_copy, nraw, 0)
+    Eafter = jnp.cumsum(ebytes, axis=1)
+    E_p = Eafter - ebytes  # escape bytes before this token
+    Btot = Bafter[:, -1]
+    raw_total = Eafter[:, -1]
+    flushes_after = jnp.maximum((Bafter - 1) >> 4, 0)
+    F = jnp.maximum((Btot - 1) >> 4, 0)  # total flushed words
 
-        def wflush(bitbuf, bitcount, flushes, nbits, val, en):
-            bitbuf2 = jnp.where(en, (bitbuf << nbits) | val, bitbuf)
-            bitcount2 = jnp.where(en, bitcount + nbits, bitcount)
-            do = en & (bitcount2 > 16)
-            wv = jnp.where(
-                do, (bitbuf2 >> (bitcount2 - 16)) & 0xFFFF, 0
-            )
-            bitcount3 = jnp.where(do, bitcount2 - 16, bitcount2)
-            flushes2 = flushes + do.astype(jnp.int32)
-            return bitbuf2, bitcount3, flushes2, do, wv
-
-        # sub-write A: huffman code
-        bitbuf, bitcount, flushes, doA, wvA = wflush(
-            bitbuf, bitcount, flushes, lenc, codec, com
+    def field_records(s, b, v):
+        """(word, contribution) records for a <=15-bit field at global
+        bit offset s: low word s>>4 and (on straddle) the next word."""
+        w0 = s >> 4
+        fit = 16 - (s & 15) - b  # >= -14
+        lo = jnp.where(
+            fit >= 0,
+            jnp.left_shift(v, jnp.maximum(fit, 0)),
+            jnp.right_shift(v, jnp.maximum(-fit, 0)),
         )
-        rawbA = rawb
-        # sub-write B: offset raw bits
-        bitbuf, bitcount, flushes, doB, wvB = wflush(
-            bitbuf, bitcount, flushes, obcc, rawv, iscp
+        lo = jnp.where(b > 0, lo, 0)
+        spill = (b > 0) & (fit < 0)
+        hi = jnp.where(
+            spill, jnp.left_shift(v, jnp.maximum(16 + fit, 0)) & 0xFFFF, 0
         )
-        # raw escape bytes
-        raw_start = 2 * (2 + flushes) + rawb
-        rawb = rawb + jnp.where(com & iscp, nr, 0)
-        return (bitbuf, bitcount, flushes, rawb), (
-            doA, wvA, rawbA, doB, wvB, rawbA, com & iscp & (nr > 0),
-            raw_start, nr, epack,
-        )
+        hikey = w0 + spill.astype(jnp.int32)
+        return w0, lo, hikey, hi
 
-    z = jnp.zeros(N, jnp.int32)
-    xs = (
-        committed.T,
-        tok_copy.T,
-        code_p.T,
-        clen_p.T,
-        jnp.where(tok_copy, obc, 0).T,
-        jnp.where(tok_copy, offraw, 0).T,
-        nraw.T,
-        esc_pack.T,
-    )
-    (bitbuf_f, bitcount_f, flushes_f, raw_f), ys = lax.scan(
-        lay_step, (z, z, z, z), xs
-    )
-    (doA_T, wvA_T, rbA_T, doB_T, wvB_T, rbB_T, hasraw_T, rstart_T,
-     nr_T, epack_T) = ys
+    a_w0, a_lo, a_w1, a_hi = field_records(S_A, bitsA, code_v)
+    b_w0, b_lo, b_w1, b_hi = field_records(S_B, bitsB, offraw_v)
 
-    # ---- dense word table: word index -> (value, raw_before) ----
-    # word events in order: A then B within a step; word index = running
-    # flush count.  Rebuild indices via cumsum over the flattened events.
-    def evt_flat(a_T, b_T):
-        # [steps, N] x2 -> [N, 2*steps] interleaved A,B chronologically
-        a = a_T.T
-        b = b_T.T
-        return jnp.stack([a, b], axis=2).reshape(N, -1)
+    def interleave(a, b):  # [N, n] x2 -> [N, 2n], token order preserved
+        return jnp.stack([a, b], axis=2).reshape(N, 2 * n)
 
-    ev_do = evt_flat(doA_T.astype(jnp.int32), doB_T.astype(jnp.int32))
-    ev_wv = evt_flat(wvA_T, wvB_T)
-    ev_rb = evt_flat(rbA_T, rbB_T)
-    ev_idx = jnp.cumsum(ev_do, axis=1) - 1  # word index per event
-    ev_key = jnp.where(ev_do == 1, ev_idx, 1 << 28)
-    # final partial word (flush remainder) as one more event
-    part_val = jnp.where(
-        bitcount_f > 0,
-        (bitbuf_f << (16 - bitcount_f)) & 0xFFFF,
-        0,
-    )
-    ev_key = jnp.concatenate([ev_key, flushes_f[:, None]], axis=1)
-    ev_wv = jnp.concatenate([ev_wv, part_val[:, None]], axis=1)
-    ev_rb = jnp.concatenate([ev_rb, raw_f[:, None]], axis=1)
-    # keys must be sorted for fill_gather: events are chronological =
-    # word-index ascending; the appended partial has the largest index ✓
-    WMAX = n + n // 4  # bound on word count (≈ bits/16 <= 30n/16… safe)
+    WMAX = n + 8  # bits <= 15L+30M with L+3M <= n  =>  words <= 15n/16+1
     wq = jnp.broadcast_to(jnp.arange(WMAX, dtype=jnp.int32)[None, :], (N, WMAX))
-    wval, wraw = fill_gather(ev_key, (ev_wv, ev_rb), wq)
-    nwords = flushes_f + (bitcount_f > 0).astype(jnp.int32)
+    wv_lo, wk_lo = fill_gather(
+        interleave(a_w0, b_w0), (interleave(a_lo, b_lo), interleave(a_w0, b_w0)),
+        wq, reduce="or",
+    )
+    wv_hi, wk_hi = fill_gather(
+        interleave(a_w1, b_w1), (interleave(a_hi, b_hi), interleave(a_w1, b_w1)),
+        wq, reduce="or",
+    )
+    word_val = jnp.where(wk_lo == wq, wv_lo, 0) | jnp.where(wk_hi == wq, wv_hi, 0)
+    nwords = F + (Btot - 16 * F > 0).astype(jnp.int32)
     # reserved-but-unwritten slots hold zeros (like the oracle writer)
-    wval = jnp.where(wq < nwords[:, None], wval, 0)
-    # slot byte position (body-relative): j<2 -> 2j; else 4+2(j-2)+raw@(j-2)
-    wraw_shift = jnp.concatenate(
-        [jnp.zeros((N, 2), jnp.int32), wraw[:, :-2]], axis=1
-    )
-    wpos = jnp.where(
-        wq < 2, 2 * wq, 4 + 2 * (wq - 2) + wraw_shift
-    )
-    slots_total = 2 + flushes_f
+    wval = jnp.where(wq < nwords[:, None], word_val, 0)
 
-    # ---- dense raw-record table keyed by start position ----
-    has_raw = hasraw_T.T
-    r_key = jnp.where(has_raw, rstart_T.T, 1 << 28)
+    # slot byte position: j<2 -> 2j; else 2j + (escape bytes before the
+    # token that flushed word j-2) — the decoder reads 2 words ahead.
+    # Sentinel row: slots past the last flush sit after ALL escapes.
+    ekeys = jnp.concatenate(
+        [flushes_after, jnp.full((N, 1), 1 << 27, jnp.int32)], axis=1
+    )
+    evals = jnp.concatenate([E_p, raw_total[:, None]], axis=1)
+    e_shift = fill_gather_left(ekeys, evals, jnp.maximum(wq - 1, 0))
+    wpos = jnp.where(wq < 2, 2 * wq, 2 * wq + e_shift)
+    slots_total = 2 + F
+
+    # ---- escape-byte records keyed by start position ----
+    r_start = 4 + 2 * flushes_after + E_p
+    r_key = jnp.where(nraw > 0, r_start, 1 << 28)
 
     # ---- byte assembly ----
-    body_len = 2 * slots_total + raw_f
+    body_len = 2 * slots_total + raw_total
     PB = 2 * n + 16  # body capacity
     bq = jnp.broadcast_to(jnp.arange(PB, dtype=jnp.int32)[None, :], (N, PB))
     # word membership: last word slot position <= b
-    wslot_key = jnp.where(wq < jnp.maximum(slots_total, 2)[:, None], wpos, 1 << 28)
+    wslot_key = jnp.where(wq < slots_total[:, None], wpos, 1 << 28)
     wv_b, wpos_b = fill_gather(wslot_key, (wval, wpos), bq)
     in_word = (bq - wpos_b >= 0) & (bq - wpos_b < 2)
     word_byte = (wv_b >> ((bq - wpos_b) * 8)) & 0xFF
     # raw membership
-    rs_b, rc_b, rp_b = fill_gather(r_key, (rstart_T.T, nr_T.T, epack_T.T), bq)
+    rs_b, rc_b, rp_b = fill_gather(r_key, (r_start, nraw, esc_pack), bq)
     dr = bq - rs_b
     in_raw = (dr >= 0) & (dr < rc_b)
     raw_byte = (rp_b >> (jnp.minimum(dr, 3) * 8)) & 0xFF

@@ -16,10 +16,11 @@ from jax import lax
 _BIG = 1 << 29
 
 
-def fill_gather(data_keys, data_vals, query_keys):
+def fill_gather(data_keys, data_vals, query_keys, reduce=None):
     """For each query key q (per row): value of the last data entry with
-    key <= q.  Data keys must be sorted per row; query keys may be in any
-    order (results return in query-column order).
+    key <= q (ties among equal data keys: the latest in column order
+    wins — lax.sort is stable).  Data/query keys may be in any order
+    (results return in query-column order).
 
     Implementation: TPU has no hardware gather — XLA's emulation costs
     ~10ns/element — but lax.sort is fast.  Merge data+queries with one
@@ -29,6 +30,10 @@ def fill_gather(data_keys, data_vals, query_keys):
     ``gather``: pass data_keys = iota, query_keys = indices for an exact
     arbitrary gather.  ``data_vals`` may be a tuple of arrays (all filled
     by the same keys); a tuple is returned then.
+
+    ``reduce="or"``: instead of last-entry-wins, equal-key data entries
+    are OR-combined (segmented OR rides the existing fill scan for free);
+    a query gets the OR of ALL data entries at the largest key <= q.
     """
     single = not isinstance(data_vals, (tuple, list))
     vals_in = (data_vals,) if single else tuple(data_vals)
@@ -44,21 +49,50 @@ def fill_gather(data_keys, data_vals, query_keys):
         [jnp.zeros((N, P), jnp.int32), jnp.ones((N, U), jnp.int32)], axis=1
     )
     sorted_ops = lax.sort((keys, org, isq, *pays), dimension=1, num_keys=1)
-    org_s, isq_s = sorted_ops[1], sorted_ops[2]
+    keys_s, org_s, isq_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
     pays_s = sorted_ops[3:]
 
-    def fstep(last, xs):
-        isqc, orgc = xs[0], xs[1]
-        cols = xs[2:]
-        last2 = tuple(
-            jnp.where(isqc == 0, cols[i], last[i]) for i in range(len(cols))
-        )
-        outk = jnp.where(isqc == 1, orgc, _BIG)  # query origin, or sink
-        return last2, (outk, *last2)
+    if reduce is None:
 
-    init = tuple(jnp.zeros(N, jnp.int32) for _ in vals_in)
+        def fstep(last, xs):
+            isqc, orgc = xs[0], xs[1]
+            cols = xs[3:]
+            last2 = tuple(
+                jnp.where(isqc == 0, cols[i], last[i]) for i in range(len(cols))
+            )
+            outk = jnp.where(isqc == 1, orgc, _BIG)  # query origin, or sink
+            return last2, (outk, *last2)
+
+        init = tuple(jnp.zeros(N, jnp.int32) for _ in vals_in)
+    elif reduce == "or":
+
+        def fstep(carry, xs):
+            lastk = carry[0]
+            last = carry[1:]
+            isqc, orgc, keyc = xs[0], xs[1], xs[2]
+            cols = xs[3:]
+            same = (isqc == 0) & (keyc == lastk)
+            last2 = tuple(
+                jnp.where(
+                    isqc == 0,
+                    jnp.where(same, last[i] | cols[i], cols[i]),
+                    last[i],
+                )
+                for i in range(len(cols))
+            )
+            lastk2 = jnp.where(isqc == 0, keyc, lastk)
+            outk = jnp.where(isqc == 1, orgc, _BIG)
+            return (lastk2, *last2), (outk, *last2)
+
+        init = (
+            jnp.full(N, -_BIG, jnp.int32),
+            *(jnp.zeros(N, jnp.int32) for _ in vals_in),
+        )
+    else:  # pragma: no cover
+        raise ValueError(reduce)
+
     _, ys = lax.scan(
-        fstep, init, (isq_s.T, org_s.T, *[p.T for p in pays_s])
+        fstep, init, (isq_s.T, org_s.T, keys_s.T, *[p.T for p in pays_s])
     )
     ok_T = ys[0]
     back = lax.sort(
@@ -110,6 +144,49 @@ def searchsorted_rows(keys, queries, side="right", steps=None):
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     return lo
+
+
+def greedy_commit(is_match, best_len, okpos, unroll=32):
+    """Greedy LZ token-selection: walk p = 0..n-1 with a cursor, commit a
+    token at the cursor, jump len (match) or 1 (literal).
+
+    The chain is inherently sequential, but per-position work is ~5 VPU
+    ops on [N] vectors — at one position per lax.scan step the program is
+    pure scan-step overhead.  K-unrolling processes ``unroll`` positions
+    per step (n/K steps of K cheap register-resident iterations).
+    """
+    N, n = is_match.shape
+    K = unroll
+    npad = -(-n // K) * K
+    if npad != n:
+        padc = ((0, 0), (0, npad - n))
+        is_match = jnp.pad(is_match, padc)
+        best_len = jnp.pad(best_len, padc)
+        okpos = jnp.pad(okpos, padc)
+    pos = jnp.broadcast_to(
+        jnp.arange(npad, dtype=jnp.int32)[None, :], (N, npad)
+    )
+
+    def sm(x):  # [N, npad] -> step-major [npad/K, K, N]
+        return x.T.reshape(npad // K, K, N)
+
+    def step(nc, xs):
+        pcol, blen, ismatch, okc = xs
+        outs = []
+        for k in range(K):
+            commit = (pcol[k] == nc) & okc[k]
+            nc = jnp.where(
+                commit, pcol[k] + jnp.where(ismatch[k], blen[k], 1), nc
+            )
+            outs.append(commit)
+        return nc, jnp.stack(outs)
+
+    _, com_T = lax.scan(
+        step,
+        jnp.zeros(N, jnp.int32),
+        (sm(pos), sm(best_len), sm(is_match), sm(okpos)),
+    )
+    return com_T.reshape(npad, N).T[:, :n]
 
 
 def le_words(x):
