@@ -14,7 +14,7 @@ import os
 import subprocess
 import sysconfig
 
-from .errors import BufError, DataError
+from .errors import ArgError, BufError, DataError
 from .formats import Format, register
 
 _DIR = os.path.join(os.path.dirname(__file__), "native")
@@ -104,7 +104,7 @@ def xpress_compress(data: bytes) -> bytes:
 
 def xpress_decompress(data: bytes, out_len: int) -> bytes:
     if out_len is None:
-        raise DataError("Xpress: out_len is required")
+        raise ArgError("Xpress: out_len is required")
     return _call(_load().xpress_decompress, bytes(data), out_len)
 
 
@@ -116,7 +116,7 @@ def xh_compress(data: bytes) -> bytes:
 
 def xh_decompress(data: bytes, out_len: int) -> bytes:
     if out_len is None:
-        raise DataError("XpressHuff: out_len is required")
+        raise ArgError("XpressHuff: out_len is required")
     return _call(_load().xh_decompress, bytes(data), out_len)
 
 
