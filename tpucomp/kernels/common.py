@@ -52,52 +52,52 @@ def fill_gather(data_keys, data_vals, query_keys, reduce=None):
     keys_s, org_s, isq_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
     pays_s = sorted_ops[3:]
 
+    # Forward fill by log-depth associative scan, NOT lax.scan: a linear
+    # scan costs ~1-3 us PER STEP on TPU (measured: a 131072-element fill
+    # took 335 ms; the two sorts take ~0.1 ms).  associative_scan is
+    # ~log2(M) wide elementwise passes.
+    hasd = 1 - isq_s  # data-entry flag
+
     if reduce is None:
 
-        def fstep(last, xs):
-            isqc, orgc = xs[0], xs[1]
-            cols = xs[3:]
-            last2 = tuple(
-                jnp.where(isqc == 0, cols[i], last[i]) for i in range(len(cols))
+        def comb(a, b):
+            ha, va = a[0], a[1:]
+            hb, vb = b[0], b[1:]
+            pick_b = hb == 1
+            return (
+                ha | hb,
+                *(jnp.where(pick_b, vb[i], va[i]) for i in range(len(va))),
             )
-            outk = jnp.where(isqc == 1, orgc, _BIG)  # query origin, or sink
-            return last2, (outk, *last2)
 
-        init = tuple(jnp.zeros(N, jnp.int32) for _ in vals_in)
+        filled = lax.associative_scan(comb, (hasd, *pays_s), axis=1)
+        fills = filled[1:]
     elif reduce == "or":
-
-        def fstep(carry, xs):
-            lastk = carry[0]
-            last = carry[1:]
-            isqc, orgc, keyc = xs[0], xs[1], xs[2]
-            cols = xs[3:]
-            same = (isqc == 0) & (keyc == lastk)
-            last2 = tuple(
-                jnp.where(
-                    isqc == 0,
-                    jnp.where(same, last[i] | cols[i], cols[i]),
-                    last[i],
-                )
-                for i in range(len(cols))
+        # segmented OR over equal keys (valid on key-sorted input)
+        def comb(a, b):
+            ha, ka, va = a[0], a[1], a[2:]
+            hb, kb, vb = b[0], b[1], b[2:]
+            pick_b = hb == 1
+            merge = (ha == 1) & (hb == 1) & (ka == kb)
+            return (
+                ha | hb,
+                jnp.where(pick_b, kb, ka),
+                *(
+                    jnp.where(
+                        pick_b,
+                        vb[i] | jnp.where(merge, va[i], 0),
+                        va[i],
+                    )
+                    for i in range(len(va))
+                ),
             )
-            lastk2 = jnp.where(isqc == 0, keyc, lastk)
-            outk = jnp.where(isqc == 1, orgc, _BIG)
-            return (lastk2, *last2), (outk, *last2)
 
-        init = (
-            jnp.full(N, -_BIG, jnp.int32),
-            *(jnp.zeros(N, jnp.int32) for _ in vals_in),
-        )
+        filled = lax.associative_scan(comb, (hasd, keys_s, *pays_s), axis=1)
+        fills = filled[2:]
     else:  # pragma: no cover
         raise ValueError(reduce)
 
-    _, ys = lax.scan(
-        fstep, init, (isq_s.T, org_s.T, keys_s.T, *[p.T for p in pays_s])
-    )
-    ok_T = ys[0]
-    back = lax.sort(
-        (ok_T.T, *[v.T for v in ys[1:]]), dimension=1, num_keys=1
-    )
+    outk = jnp.where(isq_s == 1, org_s, _BIG)  # query origin, or sink
+    back = lax.sort((outk, *fills), dimension=1, num_keys=1)
     outs = tuple(v[:, :U] for v in back[1:])
     return outs[0] if single else outs
 
@@ -273,22 +273,25 @@ def run_matchlens(x, disps):
     including arbitrarily long runs the capped hash scorer would truncate.
     """
     N, n = x.shape
-    eqs = []
+    outs = []
+    # leading-ones count via log-depth associative scan (reverse): the
+    # monoid carries (count-of-left-edge-ones, segment-all-ones); a
+    # linear reverse lax.scan costs ~1 us/step — 65 ms at 64 KiB rows.
+    # reverse=True flips the operand, so fn(a, b) receives a = the
+    # original-RIGHT segment: concatenated value is (b ++ a)
+    def comb(a, b):
+        ca, aa = a
+        cb, ab = b
+        return cb + ab * ca, aa * ab
+
     for d in disps:
         eq = jnp.concatenate(
-            [jnp.zeros((N, d), jnp.bool_), x[:, d:] == x[:, :-d]], axis=1
+            [jnp.zeros((N, d), jnp.int32), (x[:, d:] == x[:, :-d]).astype(jnp.int32)],
+            axis=1,
         )
-        eqs.append(eq.T)  # step-major
-
-    def rev_step(carry, eq_cols):
-        new = tuple(
-            jnp.where(eq_cols[i], carry[i] + 1, 0) for i in range(len(eqs))
-        )
-        return new, new
-
-    zr = tuple(jnp.zeros(N, jnp.int32) for _ in eqs)
-    _, runs_T = lax.scan(rev_step, zr, tuple(eqs), reverse=True)
-    return [r.T for r in runs_T]
+        c, _ = lax.associative_scan(comb, (eq, eq), axis=1, reverse=True)
+        outs.append(c)
+    return outs
 
 
 # --------------------------------------------------------------------------
@@ -302,6 +305,91 @@ FAR_TAG = 1 << 24  # out-value tag: "pointer to earlier output position"
 # converges in <= 3 rounds.  The window one-hot costs ~W ops/step in the
 # resolve scan — 512 is the measured sweet spot.
 RESOLVE_WINDOW = 512
+
+
+def resolve_copies_wide(is_copy, disp, litv, window=RESOLVE_WINDOW, unroll=16):
+    """resolve_copies for LONG rows (e.g. 64 KiB blocks): processes
+    ``unroll`` output positions per scan step so the program has U/K steps
+    and the window read is ONE batched [N, K, W] one-hot per step instead
+    of K narrow ones.
+
+    Semantics differ from resolve_copies only in the near-window: a
+    source must lie in [step_start - W, j) rather than [j - W, j); the
+    few refs in the gap are tagged far (the far rounds absorb them), so
+    results are identical.
+    """
+    N, U = is_copy.shape
+    W = window
+    K = unroll
+    assert U % K == 0 and W % K == 0
+    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    iota_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def sm(x):  # [N, U] -> [U/K, N, K]
+        return x.T.reshape(U // K, K, N).transpose(0, 2, 1)
+
+    def step(win, xs):
+        iscp, d, lv, j0 = xs  # [N, K], [N, K], [N, K], scalar
+        jj = j0 + iota_k  # [1->N, K] global positions
+        src = jj - d
+        # pre-step window read: sources in [j0 - W, j0)
+        near_pre = iscp & (src >= j0 - W) & (src < j0) & (src >= 0)
+        widx = jnp.where(near_pre, src % W, 0)  # [N, K]
+        oh = widx[:, :, None] == iota_w[None]  # [N, K, W]
+        preval = jnp.sum(jnp.where(oh, win[:, None, :], 0), axis=2)
+        # in-batch sources resolved by a tiny sequential unroll
+        in_batch = iscp & (src >= j0)
+        farptr = FAR_TAG | jnp.maximum(src, 0)
+        vals = jnp.where(
+            iscp,
+            jnp.where(near_pre, preval, farptr),
+            lv,
+        )
+        for k in range(1, K):
+            # position k reads in-batch source src-j0 in [0, k)
+            ohk = (src[:, k][:, None] - j0) == iota_k  # [N, K]
+            bval = jnp.sum(jnp.where(ohk, vals, 0), axis=1)
+            vals = vals.at[:, k].set(
+                jnp.where(in_batch[:, k], bval, vals[:, k])
+            )
+        win2 = lax.dynamic_update_slice(win, vals, (0, j0 % W))
+        return win2, vals
+
+    _, out_T = lax.scan(
+        step,
+        jnp.zeros((N, W), jnp.int32),
+        (
+            sm(is_copy),
+            sm(disp),
+            sm(litv),
+            jnp.arange(0, U, K, dtype=jnp.int32),
+        ),
+    )
+    out = out_T.transpose(1, 0, 2).reshape(N, U)
+    return _far_rounds(out, U, W - K)
+
+
+def _far_rounds(out, U, min_hop):
+    """Resolve FAR_TAG pointer chains by iterated sort-gathers; each
+    round shortens every chain; the cap guarantees termination on
+    corrupt (cyclic) streams."""
+    N = out.shape[0]
+    jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    max_rounds = U // max(min_hop, 1) + 3
+
+    def far_cond(state):
+        o, r = state
+        return jnp.any((o & FAR_TAG) != 0) & (r < max_rounds)
+
+    def far_round(state):
+        o, r = state
+        tagged = (o & FAR_TAG) != 0
+        tgt = jnp.where(tagged, o & (FAR_TAG - 1), jpos)
+        fetched = gather_rows(o, tgt)
+        return jnp.where(tagged, fetched, o), r + 1
+
+    out, _ = lax.while_loop(far_cond, far_round, (out, jnp.int32(0)))
+    return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
 def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
