@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import ArgError, DataError
-from ..util import pad_batch
+from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
@@ -46,6 +46,7 @@ from ..kernels.common import (
     hash_candidates,
     le_words,
     resolve_copies,
+    resolve_copies_wide,
     run_matchlens,
 )
 
@@ -79,7 +80,7 @@ _M_U32_0, _M_U32_1, _M_U32_2, _M_U32_3 = 10, 11, 12, 13
 _COPY_BIT = 1 << 20
 
 
-def make_decoder(u: int):
+def make_decoder(u: int, mode=None):
     """Build a jitted decoder for unit capacity ``u``.
 
     Args (of the returned function):
@@ -88,17 +89,27 @@ def make_decoder(u: int):
       out_len: [N] int32 expected uncompressed length per unit (required:
                the format carries no size header — [MS-XCA] §2.4).
     Returns (out [N, u], err [N]).
+
+    ``mode``: None = XLA scan; "tpu"/"interpret" = Pallas parse kernel
+    (kernels.xp_pallas) with the same record stream and shared tail.
     """
 
     @jax.jit
     def dec(payload, plen, out_len):
-        return _decode_impl(payload, plen, out_len, u)
+        return _decode_impl(payload, plen, out_len, u, mode)
 
     return dec
 
 
-def _decode_impl(payload, plen, out_len, U):
+def _decode_impl(payload, plen, out_len, U, mode=None):
     N, P = payload.shape
+    if mode is not None:
+        from ..kernels import xp_pallas
+
+        rec_pos, rec_val, p_final, errk = xp_pallas.parse_records(
+            payload, plen, out_len, U, interpret=(mode == "interpret"))
+        return _records_to_output(rec_pos, rec_val, p_final, errk,
+                                  out_len, N, U)
     bytes_T = payload.T
     steps = jnp.arange(P, dtype=jnp.int32)
 
@@ -242,17 +253,22 @@ def _decode_impl(payload, plen, out_len, U):
         z,                              # err (int mask)
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
-    p_final = carry[0]
-    err = (carry[-1] | (p_final < out_len).astype(jnp.int32)) != 0
+    return _records_to_output(rec_pos_T.T, rec_val_T.T, carry[0],
+                              carry[-1], out_len, N, U)
 
-    rec_pos = rec_pos_T.T
-    rec_val = rec_val_T.T
+
+def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U):
+    """Shared decode tail: monotone token records -> output bytes."""
+    err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     vpack = fill_gather(rec_pos, rec_val, j)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
-    out = resolve_copies(is_copy_j, disp_j, litv)
+    if U >= 8192 and U % 16 == 0:
+        out = resolve_copies_wide(is_copy_j, disp_j, litv)
+    else:
+        out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)
     return out, err
 
@@ -472,10 +488,11 @@ def _enc_for(u):
     return _ENCODERS[u]
 
 
-def _dec_for(u):
-    if u not in _DECODERS:
-        _DECODERS[u] = make_decoder(u)
-    return _DECODERS[u]
+def _dec_for(u, mode=None):
+    key = (u, mode)
+    if key not in _DECODERS:
+        _DECODERS[key] = make_decoder(u, mode)
+    return _DECODERS[key]
 
 
 def compress_units(units_data, unit_size=UNIT):
@@ -503,12 +520,14 @@ def compress_units(units_data, unit_size=UNIT):
     ]
 
 
-def decompress_units(streams, out_lens, unit_size=UNIT):
-    """Decompress a batch of independent Xpress unit streams."""
-    if not streams:
-        return []
+def _decode_bucket(streams, out_lens, unit_size, mode):
+    if any(o > unit_size for o in out_lens):
+        raise ArgError("out_len larger than unit_size")
     N = pad_batch(len(streams))
-    P = max_payload(unit_size)
+    # scan length = padded payload width; 8 KiB buckets track the batch's
+    # real max stream size instead of the all-literals worst case
+    sizeb = max(1024, -(-max(len(s) for s in streams) // 8192) * 8192)
+    P = min(max_payload(unit_size), sizeb + 16)
     payload = np.zeros((N, P), np.int32)
     plen = np.zeros(N, np.int32)
     olen = np.zeros(N, np.int32)
@@ -517,7 +536,7 @@ def decompress_units(streams, out_lens, unit_size=UNIT):
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size)(
+    out, err = _dec_for(unit_size, mode)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
     if np.asarray(err)[: len(streams)].any():
@@ -527,3 +546,27 @@ def decompress_units(streams, out_lens, unit_size=UNIT):
         out[i, : int(olen[i])].astype(np.uint8).tobytes()
         for i in range(len(streams))
     ]
+
+
+def decompress_units(streams, out_lens, unit_size=UNIT):
+    """Decompress a batch of independent Xpress unit streams (bucketed
+    by stream size so one incompressible unit doesn't stretch every
+    unit's scan)."""
+    if not streams:
+        return []
+    mode = pallas_mode("TPUCOMP_XP_PALLAS")
+    buckets = {}
+    for i, s in enumerate(streams):
+        sizeb = max(1024, -(-len(s) // 8192) * 8192)
+        buckets.setdefault(sizeb, []).append(i)
+    results = [None] * len(streams)
+    for _sb, idxs in sorted(buckets.items()):
+        outs = _decode_bucket(
+            [streams[i] for i in idxs],
+            [out_lens[i] for i in idxs],
+            unit_size,
+            mode,
+        )
+        for i, o in zip(idxs, outs):
+            results[i] = o
+    return results

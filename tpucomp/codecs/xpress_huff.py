@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import ArgError, DataError
-from ..util import pad_batch
+from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
@@ -46,6 +46,7 @@ from ..kernels.common import (
     hash_candidates,
     le_words,
     resolve_copies,
+    resolve_copies_wide,
     run_matchlens,
 )
 from ..kernels.huffman import (
@@ -96,19 +97,35 @@ _P_OFFSET = 1  # need obc offset bits (after refill)
 _P_ESC = 2  # need length-escape bytes (offset already read)
 
 
-def make_decoder(u: int, substeps: int = 5):
+def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS):
     @jax.jit
     def dec(payload, plen, out_len):
-        return _decode_impl(payload, plen, out_len, u, substeps)
+        return _decode_impl(payload, plen, out_len, u, substeps, mode, rank_cap)
 
     return dec
 
 
-def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
+def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
+                 rank_cap=NUM_SYMBOLS):
+    """mode selects the parse-scan backend: None = XLA lax.scan;
+    "tpu" = Pallas kernel (kernels.xh_pallas); "interpret" = the same
+    kernel in interpreter mode (CPU tests).  The record stream and the
+    fill/resolve tail are identical across backends."""
     N, P = payload.shape
     lengths = _unpack_table(payload)
     _, fc, br, lim = canonical_from_lengths(lengths)
     sym_by_rank = rank_to_symbol_table(lengths)  # [N, 512]
+
+    if mode is not None:
+        from ..kernels import xh_pallas
+
+        rec_pos, rec_val, p_final, errk = xh_pallas.parse_records(
+            payload[:, 256:], plen - 256, out_len, fc, br, lim,
+            sym_by_rank, U, SUBSTEPS, rank_cap=rank_cap,
+            interpret=(mode == "interpret"))
+        return _records_to_output(rec_pos, rec_val, p_final, errk,
+                                  out_len, N, U)
+
     iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
     iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
 
@@ -304,18 +321,30 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS):
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
     p_final = carry[0]
-    err = (carry[-1] | (p_final < out_len).astype(jnp.int32)) != 0
 
     # [steps, N, NREC] -> [N, steps*NREC], chronological + monotone
     S, _, NREC = rec_pos_T.shape
     rec_pos = rec_pos_T.transpose(1, 0, 2).reshape(N, S * NREC)
     rec_val = rec_val_T.transpose(1, 0, 2).reshape(N, S * NREC)
+    return _records_to_output(rec_pos, rec_val, p_final, carry[-1],
+                              out_len, N, U)
+
+
+def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U):
+    """Shared decode tail: monotone token records -> output bytes.
+    Records with key >= queries' range (sentinels) never bind."""
+    err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     vpack = fill_gather(rec_pos, rec_val, j)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
-    out = resolve_copies(is_copy_j, disp_j, litv)
+    if U >= 8192 and U % 16 == 0:
+        # K-unrolled window scan: U/16 steps with one batched one-hot
+        # each, instead of U per-position steps (64 KiB blocks)
+        out = resolve_copies_wide(is_copy_j, disp_j, litv)
+    else:
+        out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)
     return out, err
 
@@ -567,10 +596,18 @@ def compress_units(units_data, unit_size=BLOCK):
 _DECODERS = {}
 
 
-def _dec_for(u, substeps):
-    key = (u, substeps)
+def _xh_mode():
+    """Parse-scan backend: TPUCOMP_XH_PALLAS / TPUCOMP_PALLAS in
+    {auto, 1, 0, interpret}; auto = Pallas on TPU, XLA scan elsewhere."""
+    return pallas_mode("TPUCOMP_XH_PALLAS")
+
+
+def _dec_for(u, substeps, mode=None, rank_cap=NUM_SYMBOLS):
+    if mode is None:
+        rank_cap = NUM_SYMBOLS  # unused by the XLA scan: one compile
+    key = (u, substeps, mode, rank_cap)
     if key not in _DECODERS:
-        _DECODERS[key] = make_decoder(u, substeps)
+        _DECODERS[key] = make_decoder(u, substeps, mode, rank_cap)
     return _DECODERS[key]
 
 
@@ -596,7 +633,21 @@ def _substeps_for(mcl: int) -> int:
     return 17
 
 
-def _decode_bucket(streams, out_lens, unit_size, substeps):
+def _rank_cap(stream) -> int:
+    """Used-symbol count of a stream's table, quantized {128, 256, 512}:
+    the Pallas kernel's rank->symbol scan length (host table peek)."""
+    tb = np.frombuffer(stream[:256], np.uint8)
+    used = int(np.count_nonzero(tb & 0xF) + np.count_nonzero(tb >> 4))
+    for cap in (128, 256, 512):
+        if used <= cap:
+            return cap
+    return 512
+
+
+def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
+                   rank_cap=NUM_SYMBOLS):
+    if any(o > unit_size for o in out_lens):
+        raise ArgError("out_len larger than unit_size")
     N = pad_batch(len(streams))
     # scan length = padded payload width; bucket to the batch's real max
     # (power-of-two body) so typical batches don't pay the 2x worst case
@@ -612,7 +663,7 @@ def _decode_bucket(streams, out_lens, unit_size, substeps):
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size, substeps)(
+    out, err = _dec_for(unit_size, substeps, mode, rank_cap)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
     if np.asarray(err)[: len(streams)].any():
@@ -634,20 +685,25 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
     """
     if not streams:
         return []
+    mode = _xh_mode()
     buckets = {}
     for i, s in enumerate(streams):
         ss = _substeps_for(_min_code_len([s]))
         sizeb = max(1024, -(-(len(s) - 256) // 8192) * 8192)
         # scan length is per-batch: also bucket by body size so one
-        # poorly-compressible block doesn't stretch every block's scan
-        buckets.setdefault((ss, sizeb), []).append(i)
+        # poorly-compressible block doesn't stretch every block's scan.
+        # Pallas adds the rank->symbol scan length to the key.
+        rc = _rank_cap(s) if mode else NUM_SYMBOLS
+        buckets.setdefault((ss, sizeb, rc), []).append(i)
     results = [None] * len(streams)
-    for (ss, _sb), idxs in sorted(buckets.items()):
+    for (ss, _sb, rc), idxs in sorted(buckets.items()):
         outs = _decode_bucket(
             [streams[i] for i in idxs],
             [out_lens[i] for i in idxs],
             unit_size,
             ss,
+            mode,
+            rc,
         )
         for i, o in zip(idxs, outs):
             results[i] = o

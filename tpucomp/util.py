@@ -46,3 +46,24 @@ def rows_to_bytes(arr: np.ndarray, lengths) -> bytes:
     arr = np.asarray(arr)
     parts = [arr[i, : int(l)].astype(np.uint8).tobytes() for i, l in enumerate(lengths)]
     return b"".join(parts)
+
+
+def pallas_mode(env_var: str):
+    """Parse-scan backend select for a codec's Pallas kernel.
+
+    Reads ``env_var`` then the shared TPUCOMP_PALLAS, values in
+    {auto, 1, 0, interpret}; auto (default) = Pallas on TPU backends,
+    XLA scan elsewhere.  Returns None | "tpu" | "interpret".
+    """
+    import os
+
+    import jax
+
+    v = os.environ.get(env_var, os.environ.get("TPUCOMP_PALLAS", "auto"))
+    if v == "0":
+        return None
+    if v == "interpret":
+        return "interpret"
+    if v == "1" or jax.default_backend() == "tpu":
+        return "tpu"
+    return None
