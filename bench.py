@@ -90,27 +90,63 @@ def main():
     extras = {"corpus_mb": CORPUS_MB, "device": str(jax.devices()[0])}
 
     # ================= LZNT1 =================
+    # The tunnel's remote compile helper OOMs on very wide batch
+    # programs (observed 2026-08-18: N=1024 chunk lanes SIGKILLs the
+    # compile, N=512 works); ladder down to the widest batch that
+    # compiles and run the corpus in N-chunk slices.
     nchunks = -(-nbytes // lz.CHUNK)
-    N = max(256, -(-nchunks // 256) * 256)
-    chunks = np.zeros((N, lz.CHUNK), np.int32)
-    clen = np.zeros(N, np.int32)
+    chunksA = np.zeros((nchunks, lz.CHUNK), np.int32)
     arr = np.frombuffer(data, np.uint8)
-    flat = chunks[:nchunks].reshape(-1)
+    flat = chunksA.reshape(-1)
     flat[: len(arr)] = arr
-    chunks[:nchunks] = flat.reshape(nchunks, lz.CHUNK)
-    clen[:nchunks] = np.minimum(nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK)
+    chunksA = flat.reshape(nchunks, lz.CHUNK)
+    clenA = np.minimum(
+        nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK
+    ).astype(np.int32)
+
+    N = None
+    for cand in (512, 256):
+        try:
+            z = jnp.zeros((cand, lz.CHUNK), jnp.int32)
+            zl = jnp.full((cand,), lz.CHUNK, jnp.int32)
+            jax.block_until_ready(lz.encode_batch(z, zl))
+            N = cand
+            break
+        except Exception as e:  # compile-helper OOM: try narrower
+            print(f"# N={cand} encode compile failed: {e}", file=sys.stderr)
+    if N is None:
+        raise RuntimeError("no LZNT1 batch width compiles")
+    extras["lznt1_batch"] = N
+    nslices = -(-nchunks // N)
+    pad = nslices * N
+    chunks = np.zeros((pad, lz.CHUNK), np.int32)
+    clen = np.zeros(pad, np.int32)
+    chunks[:nchunks] = chunksA
+    clen[:nchunks] = clenA
     d_chunks, d_clen = jnp.asarray(chunks), jnp.asarray(clen)
 
-    payload, plen = lz.encode_batch(d_chunks, d_clen)
-    jax.block_until_ready((payload, plen))
-    t_enc_lz = chained(
-        lambda c, l, s: encode_batch_impl(c, l + s)[1], (d_chunks, d_clen)
+    slices = [
+        (jnp.asarray(chunks[i * N : (i + 1) * N]),
+         jnp.asarray(clen[i * N : (i + 1) * N]))
+        for i in range(nslices)
+    ]
+    payloads, plens = [], []
+    for dc, dl in slices:
+        pp, ll = lz.encode_batch(dc, dl)
+        payloads.append(pp)
+        plens.append(ll)
+    jax.block_until_ready((payloads, plens))
+    t_enc_lz = sum(
+        chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
+        for dc, dl in slices
     )
+    payload = jnp.concatenate(payloads, axis=0)
+    plen = jnp.concatenate(plens, axis=0)
 
     payload_h, plen_h = np.asarray(payload), np.asarray(plen)
-    dp = np.zeros((N, lz.PAYLOAD_PAD), np.int32)
-    dl = np.zeros(N, np.int32)
-    dc = np.zeros(N, bool)
+    dp = np.zeros((pad, lz.PAYLOAD_PAD), np.int32)
+    dl = np.zeros(pad, np.int32)
+    dc = np.zeros(pad, bool)
     comp_bytes = 2 * nchunks
     for k in range(nchunks):
         pl, cl = int(plen_h[k]), int(clen[k])
@@ -123,17 +159,26 @@ def main():
             dp[k, :cl] = chunks[k, :cl]
             dl[k] = cl
             comp_bytes += cl
-    d_dp, d_dl, d_dc = jnp.asarray(dp), jnp.asarray(dl), jnp.asarray(dc)
 
-    out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
-    jax.block_until_ready(out)
-    assert not np.asarray(err)[:nchunks].any()
-    got = np.asarray(out)[:nchunks].astype(np.uint8)
-    ol = np.asarray(out_lens)
-    recon = b"".join(got[i, : int(ol[i])].tobytes() for i in range(nchunks))
-    assert recon == data, "lznt1 decode mismatch"
-    t_dec_lz = chained(
-        lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], (d_dp, d_dl, d_dc)
+    dec_slices = [
+        (jnp.asarray(dp[i * N : (i + 1) * N]),
+         jnp.asarray(dl[i * N : (i + 1) * N]),
+         jnp.asarray(dc[i * N : (i + 1) * N]))
+        for i in range(nslices)
+    ]
+    recon_parts = []
+    for si, (d_dp, d_dl, d_dc) in enumerate(dec_slices):
+        out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
+        jax.block_until_ready(out)
+        lo, hi = si * N, min((si + 1) * N, nchunks)
+        assert not np.asarray(err)[: hi - lo].any()
+        got = np.asarray(out).astype(np.uint8)
+        ol = np.asarray(out_lens)
+        recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
+    assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
+    t_dec_lz = sum(
+        chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
+        for sl in dec_slices
     )
     extras["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
     extras["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
@@ -167,19 +212,25 @@ def main():
     )
     extras["xh_encode_GBps"] = round(xh_nbytes / t_enc_xh / 1e9, 4)
 
-    # timed decode: the majority substeps-bucket (decompress_units
-    # buckets blocks by min code length; outliers run separately)
+    # timed decode: the majority bucket (decompress_units buckets blocks
+    # by min code length / body size / rank cap; outliers run separately)
     from collections import Counter
+
+    from tpucomp.util import pallas_mode
+
+    mode = pallas_mode("TPUCOMP_XH_PALLAS")
+    extras["xh_backend"] = mode or "xla"
 
     def bucket_of(s):
         return (
             xh._substeps_for(xh._min_code_len([s])),
             max(1024, -(-(len(s) - 256) // 8192) * 8192),
+            xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
         )
 
     per_b = [bucket_of(s) for s in streams]
     b_major = Counter(per_b).most_common(1)[0][0]
-    ss_major = b_major[0]
+    ss_major, _, rc_major = b_major
     sel = [i for i, b in enumerate(per_b) if b == b_major]
     sel_bytes = sum(len(units[i]) for i in sel)
     max_body = max(len(streams[i]) for i in sel) - 256
@@ -196,7 +247,8 @@ def main():
         xo[k] = len(units[i])
     d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
     t_dec_xh_sel = host_chained(
-        lambda p, l, o, s: xh._decode_impl(p, l, o + s, U, ss_major)[0][:, 0],
+        lambda p, l, o, s: xh._decode_impl(
+            p, l, o + s, U, ss_major, mode, rc_major)[0][:, 0],
         (d_xp, d_xl, d_xo),
         reps=4,
     )
@@ -227,7 +279,11 @@ def main():
         lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1], (d_xb, d_xbl), reps=4
     )
     extras["xpress_encode_GBps"] = round(nbytes / t_enc_xp / 1e9, 4)
-    PX = xp_mod.max_payload(XU)
+    # production path buckets payload width by the batch's real max
+    PX = min(
+        xp_mod.max_payload(XU),
+        max(1024, -(-max(len(s) for s in xp_streams) // 8192) * 8192) + 16,
+    )
     xpp = np.zeros((NX, PX), np.int32)
     xpl = np.zeros(NX, np.int32)
     xpo = np.zeros(NX, np.int32)
@@ -237,8 +293,10 @@ def main():
         xpl[i] = len(a)
         xpo[i] = len(xp_units[i])
     d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
+    xp_mode = pallas_mode("TPUCOMP_XP_PALLAS")
+    extras["xpress_backend"] = xp_mode or "xla"
     t_dec_xp = host_chained(
-        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU)[0][:, 0],
+        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode)[0][:, 0],
         (d_xpp, d_xpl, d_xpo),
         reps=4,
     )

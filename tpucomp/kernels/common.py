@@ -146,7 +146,7 @@ def searchsorted_rows(keys, queries, side="right", steps=None):
     return lo
 
 
-def greedy_commit(is_match, best_len, okpos, unroll=32):
+def greedy_commit(is_match, best_len, okpos, unroll=32, mode="env"):
     """Greedy LZ token-selection: walk p = 0..n-1 with a cursor, commit a
     token at the cursor, jump len (match) or 1 (literal).
 
@@ -154,7 +154,20 @@ def greedy_commit(is_match, best_len, okpos, unroll=32):
     ops on [N] vectors — at one position per lax.scan step the program is
     pure scan-step overhead.  K-unrolling processes ``unroll`` positions
     per step (n/K steps of K cheap register-resident iterations).
+
+    ``mode``: "env" (default) consults TPUCOMP_COMMIT_PALLAS /
+    TPUCOMP_PALLAS and uses the Pallas walk (kernels/lz_pallas) on TPU;
+    None forces this XLA scan; "tpu"/"interpret" force Pallas.
     """
+    if mode == "env":
+        from ..util import pallas_mode
+
+        mode = pallas_mode("TPUCOMP_COMMIT_PALLAS")
+    if mode is not None:
+        from . import lz_pallas
+
+        return lz_pallas.greedy_commit(
+            is_match, best_len, okpos, interpret=(mode == "interpret"))
     N, n = is_match.shape
     K = unroll
     npad = -(-n // K) * K

@@ -1,0 +1,100 @@
+"""Pallas TPU kernels for the LZ encode path.
+
+greedy_commit: the token-selection cursor walk (reference parity: the
+greedy parse loop of the per-format compressors, SURVEY.md §2 rows 3-5)
+is inherently sequential per lane but only ~8 VPU ops per position; the
+XLA K-unrolled lax.scan (kernels/common.greedy_commit) still pays
+dispatch overhead on n/K steps.  Here the whole walk runs in-kernel:
+one fori_loop step per position on (SL, 128) lane tiles, commit bits
+packed 32 per int32 output word.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RCH = 256  # positions per grid chunk (multiple of 32: bit packing)
+
+_B_MATCH = 1 << 20  # packed-input flag bits (blen < 2^18)
+_B_OK = 1 << 21
+
+
+def _mk(c):
+    return c.astype(jnp.int32)
+
+
+def _build_kernel(SL):
+    def kernel(v_ref, out_ref, st_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            st_ref[...] = jnp.zeros((2, SL, 128), jnp.int32)
+
+        def step(k, carry):
+            nc, acc = carry
+            v = v_ref[k]
+            pos = c * RCH + k
+            blen = v & (_B_MATCH - 1)
+            is_m = _mk((v & _B_MATCH) != 0)
+            ok = _mk((v & _B_OK) != 0)
+            commit = _mk(nc == pos) * ok
+            adv = 1 + is_m * (blen - 1)
+            nc = nc + commit * (pos + adv - nc)
+            acc = acc | (commit << (k & 31))
+            out_ref[k >> 5] = acc  # last write per word wins
+            acc = acc * _mk((k & 31) != 31)
+            return nc, acc
+
+        nc, acc = lax.fori_loop(0, RCH, step, (st_ref[0], st_ref[1]))
+        st_ref[0] = nc
+        st_ref[1] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_call(SL, T, npad, interpret):
+    C = npad // RCH
+    NL = T * SL
+    return pl.pallas_call(
+        _build_kernel(SL),
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((RCH, SL, 128), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RCH // 32, SL, 128), lambda i, c: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad // 32, NL, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, SL, 128), jnp.int32)],
+        interpret=bool(interpret),
+    )
+
+
+def greedy_commit(is_match, best_len, okpos, interpret=False):
+    """Drop-in for kernels/common.greedy_commit (bool [N, n] result)."""
+    N, n = is_match.shape
+    SL = min(4, -(-N // 128))
+    T = -(-N // (SL * 128))
+    NL = T * SL
+    npad = -(-n // RCH) * RCH
+
+    v = (jnp.minimum(best_len, _B_MATCH - 1)
+         | jnp.where(is_match, _B_MATCH, 0)
+         | jnp.where(okpos, _B_OK, 0))
+    v = jnp.pad(v, ((0, NL * 128 - N), (0, npad - n)))
+    v = v.T.reshape(npad, NL, 128)
+
+    packed = _commit_call(SL, T, npad, interpret)(v)
+    # [npad/32, NL, 128] -> [N, npad]
+    words = packed.transpose(1, 2, 0).reshape(NL * 128, npad // 32)[:N]
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    bits = (words[:, :, None] >> shifts) & 1
+    return bits.reshape(N, npad)[:, :n] != 0
