@@ -86,3 +86,27 @@ def test_resolve_copies_deep_rle():
         resolve_copies(jnp.asarray(is_copy), jnp.asarray(disp), jnp.asarray(litv))
     )[0]
     assert (out == 77).all()
+
+
+def test_fill_records_dense_matches_fill_gather():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.kernels.common import fill_gather, fill_records_dense
+
+    rng = np.random.default_rng(3)
+    N, R, U = 20, 3000, 700
+    SENT = 1 << 28
+    rp = np.full((N, R), SENT, np.int32)
+    rv = np.zeros((N, R), np.int32)
+    for i in range(N):
+        k = rng.integers(1, 400)
+        ps = np.sort(rng.choice(U, size=k, replace=False))
+        rp[i, :k] = ps
+        rv[i, :k] = rng.integers(1, 1 << 16, k)
+    j = np.broadcast_to(np.arange(U, dtype=np.int32)[None], (N, U))
+    want = np.asarray(fill_gather(jnp.asarray(rp), jnp.asarray(rv), jnp.asarray(j)))
+    # force the slab/chunk fori path with tiny tiles
+    got = np.asarray(
+        fill_records_dense(jnp.asarray(rp), jnp.asarray(rv), U, slab=4, chunk=512)
+    )
+    assert np.array_equal(want, got)

@@ -41,6 +41,7 @@ from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
+    fill_records_dense,
     fill_gather_left,
     greedy_commit,
     hash_candidates,
@@ -109,7 +110,7 @@ def _decode_impl(payload, plen, out_len, U, mode=None):
         rec_pos, rec_val, p_final, errk = xp_pallas.parse_records(
             payload, plen, out_len, U, interpret=(mode == "interpret"))
         return _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U)
+                                  out_len, N, U, mode)
     bytes_T = payload.T
     steps = jnp.arange(P, dtype=jnp.int32)
 
@@ -257,15 +258,21 @@ def _decode_impl(payload, plen, out_len, U, mode=None):
                               carry[-1], out_len, N, U)
 
 
-def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U):
+def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
+                       mode=None):
     """Shared decode tail: monotone token records -> output bytes."""
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_gather(rec_pos, rec_val, j)
+    vpack = fill_records_dense(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
-    if U >= 8192 and U % 16 == 0:
+    if mode is not None and U % 128 == 0:
+        from ..kernels import resolve_pallas
+
+        out = resolve_pallas.resolve_copies(
+            is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+    elif U >= 8192 and U % 16 == 0:
         out = resolve_copies_wide(is_copy_j, disp_j, litv)
     else:
         out = resolve_copies(is_copy_j, disp_j, litv)

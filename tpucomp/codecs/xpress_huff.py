@@ -41,6 +41,7 @@ from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
+    fill_records_dense,
     fill_gather_left,
     greedy_commit,
     hash_candidates,
@@ -124,7 +125,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             sym_by_rank, U, SUBSTEPS, rank_cap=rank_cap,
             interpret=(mode == "interpret"))
         return _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U)
+                                  out_len, N, U, mode)
 
     iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
     iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
@@ -330,16 +331,22 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
                               out_len, N, U)
 
 
-def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U):
+def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
+                       mode=None):
     """Shared decode tail: monotone token records -> output bytes.
     Records with key >= queries' range (sentinels) never bind."""
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_gather(rec_pos, rec_val, j)
+    vpack = fill_records_dense(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
-    if U >= 8192 and U % 16 == 0:
+    if mode is not None and U % 128 == 0:
+        from ..kernels import resolve_pallas
+
+        out = resolve_pallas.resolve_copies(
+            is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+    elif U >= 8192 and U % 16 == 0:
         # K-unrolled window scan: U/16 steps with one batched one-hot
         # each, instead of U per-position steps (64 KiB blocks)
         out = resolve_copies_wide(is_copy_j, disp_j, litv)
@@ -634,14 +641,13 @@ def _substeps_for(mcl: int) -> int:
 
 
 def _rank_cap(stream) -> int:
-    """Used-symbol count of a stream's table, quantized {128, 256, 512}:
-    the Pallas kernel's rank->symbol scan length (host table peek)."""
+    """Used-symbol count of a stream's table, quantized {256, 512}: the
+    Pallas kernel's rank->symbol scan length (host table peek).  Two
+    tiers only: every tier is a separate Mosaic compile through the
+    (slow) remote helper."""
     tb = np.frombuffer(stream[:256], np.uint8)
     used = int(np.count_nonzero(tb & 0xF) + np.count_nonzero(tb >> 4))
-    for cap in (128, 256, 512):
-        if used <= cap:
-            return cap
-    return 512
+    return 256 if used <= 256 else 512
 
 
 def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
@@ -686,12 +692,14 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
     if not streams:
         return []
     mode = _xh_mode()
+    # scan length is per-batch: bucket by body size so one poorly-
+    # compressible block doesn't stretch every block's scan.  Coarser
+    # granularity on TPU: each variant is a slow remote compile.
+    gran = 16384 if mode == "tpu" else 8192
     buckets = {}
     for i, s in enumerate(streams):
         ss = _substeps_for(_min_code_len([s]))
-        sizeb = max(1024, -(-(len(s) - 256) // 8192) * 8192)
-        # scan length is per-batch: also bucket by body size so one
-        # poorly-compressible block doesn't stretch every block's scan.
+        sizeb = max(1024, -(-(len(s) - 256) // gran) * gran)
         # Pallas adds the rank->symbol scan length to the key.
         rc = _rank_cap(s) if mode else NUM_SYMBOLS
         buckets.setdefault((ss, sizeb, rc), []).append(i)

@@ -39,6 +39,8 @@ def fill_gather(data_keys, data_vals, query_keys, reduce=None):
     vals_in = (data_vals,) if single else tuple(data_vals)
     N, P = data_keys.shape
     U = query_keys.shape[1]
+    if single and reduce is None:
+        return _fill_gather_1(data_keys, vals_in[0], query_keys)
     origin = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     # data sorts before queries at equal key: key*2 vs key*2+1
     keys = jnp.concatenate([data_keys * 2, query_keys * 2 + 1], axis=1)
@@ -100,6 +102,124 @@ def fill_gather(data_keys, data_vals, query_keys, reduce=None):
     back = lax.sort((outk, *fills), dimension=1, num_keys=1)
     outs = tuple(v[:, :U] for v in back[1:])
     return outs[0] if single else outs
+
+
+def _fill_gather_1(data_keys, data_val, query_keys):
+    """Single-value fill_gather with 2-plane sorts.
+
+    The general path sorts 5 operand planes (key, origin, is-query flag,
+    payloads); here the is-query flag already lives in the key's low bit
+    and a single mixed plane carries payload-for-data / origin-for-query
+    (distinguished by that bit), so each lax.sort moves 2 planes.  Sort
+    traffic and compile size drop ~2.5x — the TPU sort compile through
+    the remote helper scales with total sorted cells.
+    """
+    N, P = data_keys.shape
+    U = query_keys.shape[1]
+    origin = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    keys = jnp.concatenate([data_keys * 2, query_keys * 2 + 1], axis=1)
+    mixed = jnp.concatenate([data_val, origin], axis=1)
+    keys_s, mixed_s = lax.sort((keys, mixed), dimension=1, num_keys=1)
+    isq_s = keys_s & 1
+    hasd = 1 - isq_s
+
+    def comb(a, b):
+        ha, va = a
+        hb, vb = b
+        return ha | hb, jnp.where(hb == 1, vb, va)
+
+    # data rows feed their payload forward; query rows contribute nothing
+    _, filled = lax.associative_scan(
+        comb, (hasd, jnp.where(isq_s == 1, 0, mixed_s)), axis=1
+    )
+    outk = jnp.where(isq_s == 1, mixed_s, _BIG)  # query origin, or sink
+    back = lax.sort((outk, filled), dimension=1, num_keys=1)
+    return back[1][:, :U]
+
+
+def fill_gather_chunked(data_keys, data_vals, query_keys, chunk=65536):
+    """fill_gather for WIDE record arrays, processed in fixed-width
+    column chunks and combined by largest-key-wins.
+
+    One monolithic fill sorts R+U columns; XLA:TPU's sort compile cost
+    grows superlinearly there (observed: ~150K columns compiles in ~100s
+    through the remote helper, ~230K hangs it).  Chunking caps every
+    sort at chunk+U columns and reuses one fused computation per chunk.
+
+    Requires distinct data keys across chunks (true for token records:
+    strictly increasing positions per lane).  data_vals is a tuple.
+    """
+    single = not isinstance(data_vals, (tuple, list))
+    vals_in = (data_vals,) if single else tuple(data_vals)
+    R = data_keys.shape[1]
+    if R <= chunk + chunk // 2:
+        out = fill_gather(data_keys, vals_in, query_keys)
+        return out[0] if single else out
+    best_k = None
+    best_v = None
+    for c0 in range(0, R, chunk):
+        dk = data_keys[:, c0 : c0 + chunk]
+        dv = tuple(v[:, c0 : c0 + chunk] for v in vals_in)
+        # key+1 rides along: 0 = "no record <= q in this chunk"
+        filled = fill_gather(dk, (dk + 1, *dv), query_keys)
+        kf, vf = filled[0], filled[1:]
+        if best_k is None:
+            best_k, best_v = kf, vf
+        else:
+            take = kf > best_k
+            best_k = jnp.where(take, kf, best_k)
+            best_v = tuple(
+                jnp.where(take, vf[i], best_v[i]) for i in range(len(vf))
+            )
+    return best_v[0] if single else best_v
+
+
+def fill_records_dense(data_keys, data_val, U, slab=8, chunk=65536):
+    """Dense fill for WIDE CHRONOLOGICAL record arrays: value of the
+    last record with key <= j, for every j in [0, U), per row.
+
+    Equivalent to fill_gather(data_keys, data_val, iota-U) but compiled
+    as a fori_loop over (row-slab, column-chunk) tiles around ONE
+    [slab, chunk+U] sort instance.  XLA:TPU sort RUNTIME is fine at any
+    width (in-VMEM), but its COMPILE cost scales with sorted cells and
+    the remote helper hangs beyond ~1M cells — a [512, 230K] program
+    never returns while 64 slab iterations of [8, 131K] compile in
+    minutes and run the same total work.
+
+    Requires keys NON-DECREASING along columns per row (token records in
+    emission order; sentinel-keyed empty slots count as +inf), so a
+    later chunk's bound value always supersedes earlier chunks — the
+    combine needs no key compare, ONE 2-plane fill per tile.  Values
+    must fit 30 bits (they ride as val+1, 0 = unbound).  Queries with no
+    record <= j get 0.
+    """
+    N, R = data_keys.shape
+    if N <= 2 * slab and R <= chunk + chunk // 2:
+        j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+        return fill_gather(data_keys, data_val, j)
+    npad = -(-N // slab) * slab
+    rpad = -(-R // chunk) * chunk
+    dk = jnp.pad(data_keys, ((0, npad - N), (0, rpad - R)),
+                 constant_values=_BIG // 4)
+    dv = jnp.pad(data_val, ((0, npad - N), (0, rpad - R)))
+    nslab = npad // slab
+    nchunk = rpad // chunk
+    qs = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (slab, U))
+
+    def body(t, bv):
+        # chunk-major within a slab: later chunks overwrite where bound
+        si = (t // nchunk) * slab
+        ci = (t % nchunk) * chunk
+        k = lax.dynamic_slice(dk, (si, ci), (slab, chunk))
+        v = lax.dynamic_slice(dv, (si, ci), (slab, chunk))
+        vf = _fill_gather_1(k, v + 1, qs)  # 0 = no record in this chunk
+        cv = lax.dynamic_slice(bv, (si, 0), (slab, U))
+        return lax.dynamic_update_slice(
+            bv, jnp.where(vf > 0, vf, cv), (si, 0))
+
+    bv = lax.fori_loop(
+        0, nslab * nchunk, body, jnp.zeros((npad, U), jnp.int32))
+    return jnp.maximum(bv[:N], 1) - 1
 
 
 def fill_gather_left(data_keys, data_vals, query_keys):

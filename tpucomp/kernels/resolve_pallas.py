@@ -1,0 +1,105 @@
+"""Pallas TPU kernel for LZ copy-chain resolution (near window).
+
+Same two-stage scheme as kernels/common.resolve_copies ([MS-XCA] §2.x
+overlapping-copy semantics; the per-format back-copy loops of the
+reference decompressors): a forward walk over output positions carrying
+a ring of the last W resolved values — near sources (d <= W) resolve
+in-ring via a one-hot over the W ring rows; far sources become
+FAR_TAG pointers resolved afterwards by the existing XLA sort-gather
+rounds (kernels.common._far_rounds).
+
+The XLA scan pays per-step dispatch overhead plus a [N, W] one-hot per
+position; here one fori step per position costs ~2W/8 VREG-ops for
+SL*128 lanes (W ring rows live in VMEM scratch), so W trades near-hit
+rate against ALU directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import FAR_TAG, _far_rounds
+
+RCH = 128  # positions per grid chunk
+
+
+def _mk(c):
+    return c.astype(jnp.int32)
+
+
+def _build_kernel(W, SL):
+    def kernel(v_ref, out_ref, win_ref):
+        iota_w = lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            win_ref[...] = jnp.zeros((W, SL, 128), jnp.int32)
+
+        def step(k, _):
+            j = c * RCH + k
+            v = v_ref[k]
+            # packed: litv(9) | disp(17) | is_copy(1<<26)
+            iscp = _mk((v >> 26) & 1)
+            d = (v >> 9) & 0x1FFFF
+            lv = v & 0x1FF
+            near = iscp * _mk(d <= jnp.minimum(j, W))
+            widx = near * ((j - d) % W)
+            win = win_ref[...]
+            oh = _mk(widx[None] == iota_w)
+            nearval = jnp.sum(oh * win, axis=0)
+            farptr = FAR_TAG | jnp.maximum(j - d, 0)
+            val = lv + iscp * (nearval + (1 - near) * (farptr - nearval) - lv)
+            win_ref[j % W] = val
+            out_ref[k] = val
+            return 0
+
+        lax.fori_loop(0, RCH, step, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _resolve_call(W, SL, T, U, interpret):
+    C = U // RCH
+    NL = T * SL
+    return pl.pallas_call(
+        _build_kernel(W, SL),
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((RCH, SL, 128), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RCH, SL, 128), lambda i, c: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((U, NL, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((W, SL, 128), jnp.int32)],
+        interpret=bool(interpret),
+    )
+
+
+def resolve_copies(is_copy, disp, litv, window=128, interpret=False):
+    """Drop-in for kernels/common.resolve_copies (near ring in Pallas,
+    far rounds in XLA).  U must be a multiple of 128."""
+    N, U = is_copy.shape
+    SL = min(4, -(-N // 128))
+    T = -(-N // (SL * 128))
+    NL = T * SL
+
+    # clamp corrupt disps to the 17-bit field; such rows are already
+    # err-flagged upstream and their bytes are don't-cares
+    v = ((litv & 0x1FF)
+         | (jnp.where(is_copy, jnp.minimum(disp, 0x1FFFF), 0) << 9)
+         | jnp.where(is_copy, 1 << 26, 0))
+    v = jnp.pad(v, ((0, NL * 128 - N), (0, 0)))
+    v = v.T.reshape(U, NL, 128)
+
+    out = _resolve_call(window, SL, T, U, interpret)(v)
+    out = out.transpose(1, 2, 0).reshape(NL * 128, U)[:N]
+    return _far_rounds(out, U, window)

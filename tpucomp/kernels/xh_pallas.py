@@ -332,8 +332,12 @@ def parse_records(body, blen, out_len, fc, br, lim, sym_by_rank, U,
     val_m = _COPY_BIT | (lax.shift_right_logical(rmu, 16) + 1)
     pos_l = jnp.where(lvalid, rlu & 0xFFFF, SENT)
     val_l = lax.shift_right_logical(rlu, 16)
-    rec_pos = jnp.concatenate([pos_m, pos_l], axis=1)
-    rec_val = jnp.concatenate([val_m, val_l], axis=1)
+    # interleave m/l slots per substep: a substep's offset-completion
+    # precedes its fresh literal, so the combined stream stays in
+    # chronological (monotone-position) emission order — required by
+    # fill_records_dense's later-chunk-wins combine
+    rec_pos = jnp.stack([pos_m, pos_l], axis=2).reshape(N, -1)
+    rec_val = jnp.stack([val_m, val_l], axis=2).reshape(N, -1)
 
     fin2 = fin.reshape(2, NL * 128)[:, :N]
     return rec_pos, rec_val, fin2[0], fin2[1]
