@@ -81,7 +81,10 @@ def _commit_call(SL, T, npad, interpret):
 def greedy_commit(is_match, best_len, okpos, interpret=False):
     """Drop-in for kernels/common.greedy_commit (bool [N, n] result)."""
     N, n = is_match.shape
-    SL = min(4, -(-N // 128))
+    # SL must reach 8 whenever multiple lane tiles exist (Pallas TPU
+    # requires block minor-2 dims divisible by (8, 128) unless equal to
+    # the array dims), and full (8,128) tiles load/store efficiently
+    SL = min(8, -(-N // 128))
     T = -(-N // (SL * 128))
     NL = T * SL
     npad = -(-n // RCH) * RCH

@@ -35,7 +35,6 @@ def _mk(c):
 
 def _build_kernel(W, SL):
     def kernel(v_ref, out_ref, win_ref):
-        iota_w = lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -51,9 +50,13 @@ def _build_kernel(W, SL):
             lv = v & 0x1FF
             near = iscp * _mk(d <= jnp.minimum(j, W))
             widx = near * ((j - d) % W)
-            win = win_ref[...]
-            oh = _mk(widx[None] == iota_w)
-            nearval = jnp.sum(oh * win, axis=0)
+            # row-loop select (NOT a 3D one-hot reduce: a [W, SL, 128]
+            # axis-0 reduction per step hangs the Mosaic compile; the
+            # same pattern as the parse kernel's table scan compiles
+            # in seconds)
+            nearval = jnp.zeros((SL, 128), jnp.int32)
+            for w in range(W):
+                nearval = jnp.where(widx == w, win_ref[w], nearval)
             farptr = FAR_TAG | jnp.maximum(j - d, 0)
             val = lv + iscp * (nearval + (1 - near) * (farptr - nearval) - lv)
             win_ref[j % W] = val
@@ -84,11 +87,14 @@ def _resolve_call(W, SL, T, U, interpret):
     )
 
 
-def resolve_copies(is_copy, disp, litv, window=128, interpret=False):
+def resolve_copies(is_copy, disp, litv, window=512, interpret=False):
     """Drop-in for kernels/common.resolve_copies (near ring in Pallas,
     far rounds in XLA).  U must be a multiple of 128."""
     N, U = is_copy.shape
-    SL = min(4, -(-N // 128))
+    # SL must reach 8 whenever multiple lane tiles exist (Pallas TPU
+    # requires block minor-2 dims divisible by (8, 128) unless equal to
+    # the array dims), and full (8,128) tiles load/store efficiently
+    SL = min(8, -(-N // 128))
     T = -(-N // (SL * 128))
     NL = T * SL
 

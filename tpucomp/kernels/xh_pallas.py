@@ -51,7 +51,7 @@ _M_E16A, _M_E16B = 3, 4
 _M_E32A, _M_E32B, _M_E32C, _M_E32D = 5, 6, 7, 8
 _P_NONE, _P_OFFSET, _P_ESC = 0, 1, 2
 
-RCH = 128  # scan steps per grid chunk (multiple of 4: byte packing)
+RCH = 64  # scan steps per grid chunk (multiple of 4: byte packing)
 
 # state rows in the VMEM scratch carry
 _NSTATE = 11
@@ -98,9 +98,12 @@ def _build_kernel(U, SS, R3, SL):
             rank = (rbf + (peek15 >> (15 - level))) * found
             rdiv = (rank * 21846) >> 16  # exact rank // 3 for rank < 512
             rmod = rank - rdiv * 3
-            packed = jnp.zeros((SL, 128), jnp.int32)
-            for r in range(R3):
-                packed = jnp.where(rdiv == r, sym3_ref[r], packed)
+            # one 3D masked reduce over the packed table (a per-row
+            # ref-load + select loop costs ~28 ns/row in Mosaic — ~400 ms
+            # per 16K-step batch; this form runs at VPU speed)
+            iota_r = lax.broadcasted_iota(jnp.int32, (R3, 1, 1), 0)
+            oh = rdiv[None] == iota_r
+            packed = jnp.sum(jnp.where(oh, sym3_ref[...], 0), axis=0)
             sym = (packed >> (rmod * 9)) & 0x1FF
             return sym, level, found
 
@@ -289,7 +292,9 @@ def parse_records(body, blen, out_len, fc, br, lim, sym_by_rank, U,
     N, Pb = body.shape
     SS = substeps
     R3 = -(-rank_cap // 3)
-    SL = min(4, -(-N // 128))
+    # SL=8 -> full-(8,128)-tile table rows: the rank->symbol scan is
+    # VMEM-load bound, so half tiles (SL=4) waste half the load width
+    SL = min(8, -(-N // 128))
     T = -(-N // (SL * 128))
     NL = T * SL
     S4 = -(-Pb // RCH) * (RCH // 4)

@@ -215,7 +215,10 @@ def parse_records(payload, plen, out_len, U, interpret=False):
     rec_val uses codecs/xpress's _COPY_BIT tag; empty slots key SENT.
     """
     N, P = payload.shape
-    SL = min(4, -(-N // 128))
+    # SL must reach 8 whenever multiple lane tiles exist (Pallas TPU
+    # requires block minor-2 dims divisible by (8, 128) unless equal to
+    # the array dims), and full (8,128) tiles load/store efficiently
+    SL = min(8, -(-N // 128))
     T = -(-N // (SL * 128))
     NL = T * SL
     S4 = -(-P // RCH) * (RCH // 4)
