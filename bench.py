@@ -89,221 +89,252 @@ def main():
     nbytes = len(data)
     extras = {"corpus_mb": CORPUS_MB, "device": str(jax.devices()[0])}
 
-    # ================= LZNT1 =================
-    # The tunnel's remote compile helper OOMs on very wide batch
-    # programs (observed 2026-08-18: N=1024 chunk lanes SIGKILLs the
-    # compile, N=512 works); ladder down to the widest batch that
-    # compiles and run the corpus in N-chunk slices.
-    nchunks = -(-nbytes // lz.CHUNK)
-    chunksA = np.zeros((nchunks, lz.CHUNK), np.int32)
-    arr = np.frombuffer(data, np.uint8)
-    flat = chunksA.reshape(-1)
-    flat[: len(arr)] = arr
-    chunksA = flat.reshape(nchunks, lz.CHUNK)
-    clenA = np.minimum(
-        nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK
-    ).astype(np.int32)
+    def run_lznt1():
+        # ================= LZNT1 =================
+        # The tunnel's remote compile helper OOMs on very wide batch
+        # programs (observed 2026-08-18: N=1024 chunk lanes SIGKILLs the
+        # compile, N=512 works); ladder down to the widest batch that
+        # compiles and run the corpus in N-chunk slices.
+        nchunks = -(-nbytes // lz.CHUNK)
+        chunksA = np.zeros((nchunks, lz.CHUNK), np.int32)
+        arr = np.frombuffer(data, np.uint8)
+        flat = chunksA.reshape(-1)
+        flat[: len(arr)] = arr
+        chunksA = flat.reshape(nchunks, lz.CHUNK)
+        clenA = np.minimum(
+            nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK
+        ).astype(np.int32)
 
-    N = None
-    for cand in (512, 256):
-        try:
-            z = jnp.zeros((cand, lz.CHUNK), jnp.int32)
-            zl = jnp.full((cand,), lz.CHUNK, jnp.int32)
-            jax.block_until_ready(lz.encode_batch(z, zl))
-            N = cand
-            break
-        except Exception as e:  # compile-helper OOM: try narrower
-            print(f"# N={cand} encode compile failed: {e}", file=sys.stderr)
-    if N is None:
-        raise RuntimeError("no LZNT1 batch width compiles")
-    extras["lznt1_batch"] = N
-    nslices = -(-nchunks // N)
-    pad = nslices * N
-    chunks = np.zeros((pad, lz.CHUNK), np.int32)
-    clen = np.zeros(pad, np.int32)
-    chunks[:nchunks] = chunksA
-    clen[:nchunks] = clenA
-    d_chunks, d_clen = jnp.asarray(chunks), jnp.asarray(clen)
+        N = None
+        for cand in (512, 256):
+            try:
+                z = jnp.zeros((cand, lz.CHUNK), jnp.int32)
+                zl = jnp.full((cand,), lz.CHUNK, jnp.int32)
+                jax.block_until_ready(lz.encode_batch(z, zl))
+                N = cand
+                break
+            except Exception as e:  # compile-helper OOM: try narrower
+                print(f"# N={cand} encode compile failed: {e}", file=sys.stderr)
+        if N is None:
+            raise RuntimeError("no LZNT1 batch width compiles")
+        extras["lznt1_batch"] = N
+        nslices = -(-nchunks // N)
+        pad = nslices * N
+        chunks = np.zeros((pad, lz.CHUNK), np.int32)
+        clen = np.zeros(pad, np.int32)
+        chunks[:nchunks] = chunksA
+        clen[:nchunks] = clenA
+        d_chunks, d_clen = jnp.asarray(chunks), jnp.asarray(clen)
 
-    slices = [
-        (jnp.asarray(chunks[i * N : (i + 1) * N]),
-         jnp.asarray(clen[i * N : (i + 1) * N]))
-        for i in range(nslices)
-    ]
-    payloads, plens = [], []
-    for dc, dl in slices:
-        pp, ll = lz.encode_batch(dc, dl)
-        payloads.append(pp)
-        plens.append(ll)
-    jax.block_until_ready((payloads, plens))
-    t_enc_lz = sum(
-        chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
-        for dc, dl in slices
-    )
-    payload = jnp.concatenate(payloads, axis=0)
-    plen = jnp.concatenate(plens, axis=0)
-
-    payload_h, plen_h = np.asarray(payload), np.asarray(plen)
-    dp = np.zeros((pad, lz.PAYLOAD_PAD), np.int32)
-    dl = np.zeros(pad, np.int32)
-    dc = np.zeros(pad, bool)
-    comp_bytes = 2 * nchunks
-    for k in range(nchunks):
-        pl, cl = int(plen_h[k]), int(clen[k])
-        if pl < cl:
-            dp[k, :pl] = payload_h[k, :pl]
-            dl[k] = pl
-            dc[k] = True
-            comp_bytes += pl
-        else:
-            dp[k, :cl] = chunks[k, :cl]
-            dl[k] = cl
-            comp_bytes += cl
-
-    dec_slices = [
-        (jnp.asarray(dp[i * N : (i + 1) * N]),
-         jnp.asarray(dl[i * N : (i + 1) * N]),
-         jnp.asarray(dc[i * N : (i + 1) * N]))
-        for i in range(nslices)
-    ]
-    recon_parts = []
-    for si, (d_dp, d_dl, d_dc) in enumerate(dec_slices):
-        out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
-        jax.block_until_ready(out)
-        lo, hi = si * N, min((si + 1) * N, nchunks)
-        assert not np.asarray(err)[: hi - lo].any()
-        got = np.asarray(out).astype(np.uint8)
-        ol = np.asarray(out_lens)
-        recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
-    assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
-    t_dec_lz = sum(
-        chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
-        for sl in dec_slices
-    )
-    extras["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
-    extras["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
-    extras["lznt1_ratio"] = round(comp_bytes / nbytes, 4)
-
-    # ================= Xpress Huffman =================
-    # XH uses a larger corpus tile: batch lanes = blocks, and production
-    # batches are hundreds of blocks — 8 MB (128 blocks, split across
-    # buckets) would leave the VPU mostly idle.
-    xh_data = silesia_like(XH_CORPUS_MB << 20)
-    xh_nbytes = len(xh_data)
-    U = xh.BLOCK
-    units = [xh_data[i : i + U] for i in range(0, xh_nbytes, U)]
-    streams = xh.compress_units(units)  # device encode (also decode input)
-    xh_bytes = sum(len(s) for s in streams)
-    out_parts = xh.decompress_units(streams, [len(u) for u in units])
-    assert b"".join(out_parts) == xh_data, "xh roundtrip mismatch"
-    extras["xh_ratio"] = round(xh_bytes / xh_nbytes, 4)
-
-    # timed encode
-    NB = max(8, len(units))
-    ub = np.zeros((NB, U), np.int32)
-    ul = np.zeros(NB, np.int32)
-    for i, u in enumerate(units):
-        a = np.frombuffer(u, np.uint8)
-        ub[i, : len(a)] = a
-        ul[i] = len(a)
-    d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
-    t_enc_xh = host_chained(
-        lambda c, l, s: xh._encode_impl(c, l + s, U)[1], (d_ub, d_ul), reps=4
-    )
-    extras["xh_encode_GBps"] = round(xh_nbytes / t_enc_xh / 1e9, 4)
-
-    # timed decode: the majority bucket (decompress_units buckets blocks
-    # by min code length / body size / rank cap; outliers run separately)
-    from collections import Counter
-
-    from tpucomp.util import pallas_mode
-
-    mode = pallas_mode("TPUCOMP_XH_PALLAS")
-    extras["xh_backend"] = mode or "xla"
-
-    def bucket_of(s):
-        return (
-            xh._substeps_for(xh._min_code_len([s])),
-            max(1024, -(-(len(s) - 256) // 8192) * 8192),
-            xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
+        slices = [
+            (jnp.asarray(chunks[i * N : (i + 1) * N]),
+             jnp.asarray(clen[i * N : (i + 1) * N]))
+            for i in range(nslices)
+        ]
+        payloads, plens = [], []
+        for dc, dl in slices:
+            pp, ll = lz.encode_batch(dc, dl)
+            payloads.append(pp)
+            plens.append(ll)
+        jax.block_until_ready((payloads, plens))
+        t_enc_lz = sum(
+            chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
+            for dc, dl in slices
         )
+        payload = jnp.concatenate(payloads, axis=0)
+        plen = jnp.concatenate(plens, axis=0)
 
-    per_b = [bucket_of(s) for s in streams]
-    b_major = Counter(per_b).most_common(1)[0][0]
-    ss_major, _, rc_major = b_major
-    sel = [i for i, b in enumerate(per_b) if b == b_major]
-    sel_bytes = sum(len(units[i]) for i in sel)
-    max_body = max(len(streams[i]) for i in sel) - 256
-    bb = max(1024, -(-max_body // 8192) * 8192)
-    P = min(xh.max_payload(U), 256 + bb + 16)
-    NBD = max(8, len(sel))
-    xp = np.zeros((NBD, P), np.int32)
-    xl = np.zeros(NBD, np.int32)
-    xo = np.zeros(NBD, np.int32)
-    for k, i in enumerate(sel):
-        a = np.frombuffer(streams[i], np.uint8)
-        xp[k, : len(a)] = a
-        xl[k] = len(a)
-        xo[k] = len(units[i])
-    d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
-    t_dec_xh_sel = host_chained(
-        lambda p, l, o, s: xh._decode_impl(
-            p, l, o + s, U, ss_major, mode, rc_major)[0][:, 0],
-        (d_xp, d_xl, d_xo),
-        reps=4,
-    )
-    t_dec_xh = t_dec_xh_sel * xh_nbytes / max(sel_bytes, 1)  # scale to corpus
-    extras["xh_decode_GBps"] = round(xh_nbytes / t_dec_xh / 1e9, 4)
-    extras["xh_substeps"] = ss_major
+        payload_h, plen_h = np.asarray(payload), np.asarray(plen)
+        dp = np.zeros((pad, lz.PAYLOAD_PAD), np.int32)
+        dl = np.zeros(pad, np.int32)
+        dc = np.zeros(pad, bool)
+        comp_bytes = 2 * nchunks
+        for k in range(nchunks):
+            pl, cl = int(plen_h[k]), int(clen[k])
+            if pl < cl:
+                dp[k, :pl] = payload_h[k, :pl]
+                dl[k] = pl
+                dc[k] = True
+                comp_bytes += pl
+            else:
+                dp[k, :cl] = chunks[k, :cl]
+                dl[k] = cl
+                comp_bytes += cl
 
-    # ================= Xpress plain (BASELINE config 2) =================
-    from tpucomp.codecs import xpress as xp_mod
+        dec_slices = [
+            (jnp.asarray(dp[i * N : (i + 1) * N]),
+             jnp.asarray(dl[i * N : (i + 1) * N]),
+             jnp.asarray(dc[i * N : (i + 1) * N]))
+            for i in range(nslices)
+        ]
+        recon_parts = []
+        for si, (d_dp, d_dl, d_dc) in enumerate(dec_slices):
+            out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
+            jax.block_until_ready(out)
+            lo, hi = si * N, min((si + 1) * N, nchunks)
+            assert not np.asarray(err)[: hi - lo].any()
+            got = np.asarray(out).astype(np.uint8)
+            ol = np.asarray(out_lens)
+            recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
+        assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
+        t_dec_lz = sum(
+            chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
+            for sl in dec_slices
+        )
+        extras["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
+        extras["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
+        extras["lznt1_ratio"] = round(comp_bytes / nbytes, 4)
+        return t_dec_lz
 
-    XU = 65536
-    xp_units = [data[i : i + XU] for i in range(0, nbytes, XU)]
-    xp_streams = xp_mod.compress_units(xp_units, unit_size=XU)
-    xp_out = xp_mod.decompress_units(
-        xp_streams, [len(u) for u in xp_units], unit_size=XU
-    )
-    assert b"".join(xp_out) == data, "xpress roundtrip mismatch"
-    extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / nbytes, 4)
-    NX = max(8, len(xp_units))
-    xb = np.zeros((NX, XU), np.int32)
-    xbl = np.zeros(NX, np.int32)
-    for i, u in enumerate(xp_units):
-        a = np.frombuffer(u, np.uint8)
-        xb[i, : len(a)] = a
-        xbl[i] = len(a)
-    d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
-    t_enc_xp = host_chained(
-        lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1], (d_xb, d_xbl), reps=4
-    )
-    extras["xpress_encode_GBps"] = round(nbytes / t_enc_xp / 1e9, 4)
-    # production path buckets payload width by the batch's real max
-    PX = min(
-        xp_mod.max_payload(XU),
-        max(1024, -(-max(len(s) for s in xp_streams) // 8192) * 8192) + 16,
-    )
-    xpp = np.zeros((NX, PX), np.int32)
-    xpl = np.zeros(NX, np.int32)
-    xpo = np.zeros(NX, np.int32)
-    for i, s in enumerate(xp_streams):
-        a = np.frombuffer(s, np.uint8)
-        xpp[i, : len(a)] = a
-        xpl[i] = len(a)
-        xpo[i] = len(xp_units[i])
-    d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
-    xp_mode = pallas_mode("TPUCOMP_XP_PALLAS")
-    extras["xpress_backend"] = xp_mode or "xla"
-    t_dec_xp = host_chained(
-        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode)[0][:, 0],
-        (d_xpp, d_xpl, d_xpo),
-        reps=4,
-    )
-    extras["xpress_decode_GBps"] = round(nbytes / t_dec_xp / 1e9, 4)
+    def run_xh():
+        # ================= Xpress Huffman =================
+        # XH uses a larger corpus tile: batch lanes = blocks, and production
+        # batches are hundreds of blocks — 8 MB (128 blocks, split across
+        # buckets) would leave the VPU mostly idle.
+        xh_data = silesia_like(XH_CORPUS_MB << 20)
+        xh_nbytes = len(xh_data)
+        U = xh.BLOCK
+        units = [xh_data[i : i + U] for i in range(0, xh_nbytes, U)]
+        streams = xh.compress_units(units)  # device encode (also decode input)
+        xh_bytes = sum(len(s) for s in streams)
+        out_parts = xh.decompress_units(streams, [len(u) for u in units])
+        assert b"".join(out_parts) == xh_data, "xh roundtrip mismatch"
+        extras["xh_ratio"] = round(xh_bytes / xh_nbytes, 4)
 
-    # headline: aggregate decode throughput over both formats
-    dec_gbps = (nbytes + xh_nbytes) / (t_dec_lz + t_dec_xh) / 1e9
+        # timed encode
+        NB = max(8, len(units))
+        ub = np.zeros((NB, U), np.int32)
+        ul = np.zeros(NB, np.int32)
+        for i, u in enumerate(units):
+            a = np.frombuffer(u, np.uint8)
+            ub[i, : len(a)] = a
+            ul[i] = len(a)
+        d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
+        t_enc_xh = host_chained(
+            lambda c, l, s: xh._encode_impl(c, l + s, U)[1], (d_ub, d_ul), reps=4
+        )
+        extras["xh_encode_GBps"] = round(xh_nbytes / t_enc_xh / 1e9, 4)
+
+        # timed decode: the majority bucket (decompress_units buckets blocks
+        # by min code length / body size / rank cap; outliers run separately)
+        from collections import Counter
+
+        from tpucomp.util import pallas_mode
+
+        mode = pallas_mode("TPUCOMP_XH_PALLAS")
+        extras["xh_backend"] = mode or "xla"
+
+        def bucket_of(s):
+            return (
+                xh._substeps_for(xh._min_code_len([s])),
+                max(1024, -(-(len(s) - 256) // 8192) * 8192),
+                xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
+            )
+
+        per_b = [bucket_of(s) for s in streams]
+        b_major = Counter(per_b).most_common(1)[0][0]
+        ss_major, _, rc_major = b_major
+        sel = [i for i, b in enumerate(per_b) if b == b_major]
+        sel_bytes = sum(len(units[i]) for i in sel)
+        max_body = max(len(streams[i]) for i in sel) - 256
+        bb = max(1024, -(-max_body // 8192) * 8192)
+        P = min(xh.max_payload(U), 256 + bb + 16)
+        NBD = max(8, len(sel))
+        xp = np.zeros((NBD, P), np.int32)
+        xl = np.zeros(NBD, np.int32)
+        xo = np.zeros(NBD, np.int32)
+        for k, i in enumerate(sel):
+            a = np.frombuffer(streams[i], np.uint8)
+            xp[k, : len(a)] = a
+            xl[k] = len(a)
+            xo[k] = len(units[i])
+        d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
+        t_dec_xh_sel = host_chained(
+            lambda p, l, o, s: xh._decode_impl(
+                p, l, o + s, U, ss_major, mode, rc_major)[0][:, 0],
+            (d_xp, d_xl, d_xo),
+            reps=4,
+        )
+        t_dec_xh = t_dec_xh_sel * xh_nbytes / max(sel_bytes, 1)  # scale to corpus
+        extras["xh_decode_GBps"] = round(xh_nbytes / t_dec_xh / 1e9, 4)
+        extras["xh_substeps"] = ss_major
+        return t_dec_xh
+
+    def run_xpress():
+        # ================= Xpress plain (BASELINE config 2) =================
+        from tpucomp.codecs import xpress as xp_mod
+        from tpucomp.util import pallas_mode
+
+        XU = 65536
+        xp_units = [data[i : i + XU] for i in range(0, nbytes, XU)]
+        xp_streams = xp_mod.compress_units(xp_units, unit_size=XU)
+        xp_out = xp_mod.decompress_units(
+            xp_streams, [len(u) for u in xp_units], unit_size=XU
+        )
+        assert b"".join(xp_out) == data, "xpress roundtrip mismatch"
+        extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / nbytes, 4)
+        NX = max(8, len(xp_units))
+        xb = np.zeros((NX, XU), np.int32)
+        xbl = np.zeros(NX, np.int32)
+        for i, u in enumerate(xp_units):
+            a = np.frombuffer(u, np.uint8)
+            xb[i, : len(a)] = a
+            xbl[i] = len(a)
+        d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
+        t_enc_xp = host_chained(
+            lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1], (d_xb, d_xbl), reps=4
+        )
+        extras["xpress_encode_GBps"] = round(nbytes / t_enc_xp / 1e9, 4)
+        # production path buckets payload width by the batch's real max
+        PX = min(
+            xp_mod.max_payload(XU),
+            max(1024, -(-max(len(s) for s in xp_streams) // 8192) * 8192) + 16,
+        )
+        xpp = np.zeros((NX, PX), np.int32)
+        xpl = np.zeros(NX, np.int32)
+        xpo = np.zeros(NX, np.int32)
+        for i, s in enumerate(xp_streams):
+            a = np.frombuffer(s, np.uint8)
+            xpp[i, : len(a)] = a
+            xpl[i] = len(a)
+            xpo[i] = len(xp_units[i])
+        d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
+        xp_mode = pallas_mode("TPUCOMP_XP_PALLAS")
+        extras["xpress_backend"] = xp_mode or "xla"
+        t_dec_xp = host_chained(
+            lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode)[0][:, 0],
+            (d_xpp, d_xpl, d_xpo),
+            reps=4,
+        )
+        extras["xpress_decode_GBps"] = round(nbytes / t_dec_xp / 1e9, 4)
+
+    # Each stage runs guarded: a compile-helper failure on one format
+    # must not cost the round its bench line (the driver records exactly
+    # one JSON line per round).
+    errors = {}
+
+    def guard(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+
+    t_dec_lz = guard("lznt1", run_lznt1)
+    t_dec_xh = guard("xh", run_xh)
+    guard("xpress", run_xpress)
+    if errors:
+        extras["errors"] = errors
+
+    # headline: aggregate decode throughput over both north-star formats
+    num = den = 0.0
+    if t_dec_lz:
+        num += nbytes
+        den += t_dec_lz
+    if t_dec_xh:
+        num += XH_CORPUS_MB << 20
+        den += t_dec_xh
+    dec_gbps = (num / den / 1e9) if den else 0.0
     print(
         json.dumps(
             {

@@ -1,0 +1,140 @@
+"""Stage-level profile of the XH decode pipeline on the current backend.
+
+Splits decode wall time into: parse kernel (Pallas scan), record fill
+(fill_records_dense), copy resolve (resolve_pallas / XLA), so perf work
+targets the real bottleneck.  Run on the dev chip:
+
+    python benchmarks/profile_xh.py [corpus_mb] [reps]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    corpus_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from benchmarks.corpus import silesia_like
+    from tpucomp.codecs import xpress_huff as xh
+    from tpucomp.kernels import xh_pallas
+    from tpucomp.kernels.huffman import (
+        canonical_from_lengths,
+        rank_to_symbol_table,
+    )
+    from tpucomp.kernels.common import fill_records_dense
+    from tpucomp.util import pallas_mode
+
+    data = silesia_like(corpus_mb << 20)
+    U = xh.BLOCK
+    units = [data[i : i + U] for i in range(0, len(data), U)]
+    streams = xh.compress_units(units)
+    mode = pallas_mode("TPUCOMP_XH_PALLAS")
+    print(f"# corpus {corpus_mb} MB, {len(units)} blocks, mode={mode}")
+
+    # majority bucket (mirror bench.py)
+    from collections import Counter
+
+    def bucket_of(s):
+        return (
+            xh._substeps_for(xh._min_code_len([s])),
+            max(1024, -(-(len(s) - 256) // 8192) * 8192),
+            xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
+        )
+
+    per_b = [bucket_of(s) for s in streams]
+    b_major = Counter(per_b).most_common(1)[0][0]
+    ss, _, rc = b_major
+    sel = [i for i, b in enumerate(per_b) if b == b_major]
+    sel_bytes = sum(len(units[i]) for i in sel)
+    max_body = max(len(streams[i]) for i in sel) - 256
+    bb = max(1024, -(-max_body // 8192) * 8192)
+    P = min(xh.max_payload(U), 256 + bb + 16)
+    N = max(8, len(sel))
+    payload = np.zeros((N, P), np.int32)
+    plen = np.zeros(N, np.int32)
+    olen = np.zeros(N, np.int32)
+    for k, i in enumerate(sel):
+        a = np.frombuffer(streams[i], np.uint8)
+        payload[k, : len(a)] = a
+        plen[k] = len(a)
+        olen[k] = len(units[i])
+    d_pay = jnp.asarray(payload)
+    d_plen = jnp.asarray(plen)
+    d_olen = jnp.asarray(olen)
+    print(f"# majority bucket: ss={ss} rank_cap={rc} P={P} N={N} "
+          f"({sel_bytes / (1 << 20):.1f} MB)")
+
+    # ---- stage functions ----
+    @jax.jit
+    def stage_tables(pay):
+        lengths = xh._unpack_table(pay)
+        _, fc, br, lim = canonical_from_lengths(lengths)
+        sym = rank_to_symbol_table(lengths)
+        return fc, br, lim, sym
+
+    def stage_parse(pay, pl, ol, fc, br, lim, sym):
+        return xh_pallas.parse_records(
+            pay[:, 256:], pl - 256, ol, fc, br, lim, sym, U, ss,
+            rank_cap=rc, interpret=(mode == "interpret"))
+
+    @jax.jit
+    def stage_fill(rec_pos, rec_val):
+        return fill_records_dense(rec_pos, rec_val, U)
+
+    def stage_resolve(vpack, ol):
+        j = jnp.arange(U, dtype=jnp.int32)[None, :]
+        is_copy_j = (vpack & xh._COPY_BIT) != 0
+        disp_j = vpack & (xh._COPY_BIT - 1)
+        litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
+        if mode is not None and U % 128 == 0:
+            from tpucomp.kernels import resolve_pallas
+
+            out = resolve_pallas.resolve_copies(
+                is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+        else:
+            from tpucomp.kernels.common import resolve_copies_wide
+
+            out = resolve_copies_wide(is_copy_j, disp_j, litv)
+        return jnp.where(j < ol[:, None], out, 0)
+
+    stage_parse_j = jax.jit(stage_parse)
+    stage_resolve_j = jax.jit(stage_resolve)
+
+    def timeit(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        gbps = sel_bytes / dt / 1e9
+        print(f"{name:12s} {dt * 1e3:9.2f} ms   {gbps:7.3f} GB/s")
+        return out
+
+    fc, br, lim, sym = timeit("tables", stage_tables, d_pay)
+    rec_pos, rec_val, p_final, errk = timeit(
+        "parse", stage_parse_j, d_pay, d_plen, d_olen, fc, br, lim, sym)
+    print(f"# record slots/row: {rec_pos.shape[1]}  "
+          f"nonempty: {int(np.asarray((rec_pos < (1 << 28)).sum(axis=1)).max())} max")
+    vpack = timeit("fill", stage_fill, rec_pos, rec_val)
+    timeit("resolve", stage_resolve_j, vpack, d_olen)
+
+    # end-to-end for reference
+    dec = xh._dec_for(U, ss, mode, rc)
+    timeit("end2end", dec, d_pay, d_plen, d_olen)
+
+
+if __name__ == "__main__":
+    main()

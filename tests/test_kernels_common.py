@@ -110,3 +110,80 @@ def test_fill_records_dense_matches_fill_gather():
         fill_records_dense(jnp.asarray(rp), jnp.asarray(rv), U, slab=4, chunk=512)
     )
     assert np.array_equal(want, got)
+
+
+def test_compact_records_preserves_fill():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.kernels.common import (
+        compact_records, fill_gather, SENT_KEY,
+    )
+
+    rng = np.random.default_rng(7)
+    N, R, U = 12, 4096, 900
+    rp = np.full((N, R), SENT_KEY, np.int32)
+    rv = np.zeros((N, R), np.int32)
+    for i in range(N):
+        k = rng.integers(1, 500)
+        # sparse interspersed real records, strictly increasing keys
+        cols = np.sort(rng.choice(R, size=k, replace=False))
+        ps = np.sort(rng.choice(U, size=k, replace=False))
+        rp[i, cols] = ps
+        rv[i, cols] = rng.integers(1, 1 << 16, k)
+    j = np.broadcast_to(np.arange(U, dtype=np.int32)[None], (N, U))
+    want = np.asarray(
+        fill_gather(jnp.asarray(rp), jnp.asarray(rv), jnp.asarray(j))
+    )
+    pc, vc, ovf = compact_records(
+        jnp.asarray(rp), jnp.asarray(rv), keep=256, chunk=512, slab=4
+    )
+    assert pc.shape[1] == (R // 512) * 256
+    assert not np.asarray(ovf).any()
+    got = np.asarray(fill_gather(pc, vc, jnp.asarray(j)))
+    assert np.array_equal(want, got)
+
+    # overflow flags when a chunk holds more real records than keep
+    dense = np.arange(R, dtype=np.int32)[None].repeat(2, axis=0)
+    pc, vc, ovf = compact_records(
+        jnp.asarray(dense), jnp.asarray(dense), keep=100, chunk=512, slab=4
+    )
+    assert np.asarray(ovf).all()
+
+
+def test_fill_gather_tiled_matches_monolithic():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.kernels import common as C
+
+    rng = np.random.default_rng(11)
+    N, P, U = 24, 1500, 1100
+    dk = rng.integers(0, 2000, (N, P)).astype(np.int32)
+    v1 = rng.integers(0, 1 << 12, (N, P)).astype(np.int32)
+    v2 = rng.integers(0, 1 << 12, (N, P)).astype(np.int32)
+    q = rng.integers(-5, 2100, (N, U)).astype(np.int32)
+    args = (jnp.asarray(dk), (jnp.asarray(v1), jnp.asarray(v2)), jnp.asarray(q))
+    old = C.SORT_CELL_TRIGGER
+    try:
+        C.SORT_CELL_TRIGGER = 1 << 30
+        want = C.fill_gather(*args)
+        want_or = C.fill_gather(*args, reduce="or")
+        want_1 = C.fill_gather(args[0], args[1][0], args[2])
+        want_left = C.fill_gather_left(args[0], args[1][0], args[2])
+        # force tiling with tiny tiles (and exercise the slab adapter)
+        C.SORT_CELL_TRIGGER = 4096
+        got = C._fill_gather_tiled(args[0], args[1], args[2], chunk=512)
+        got_or = C._fill_gather_tiled(args[0], args[1], args[2],
+                                      reduce="or", chunk=512)
+        got_1 = C.fill_gather(args[0], args[1][0], args[2])
+        got_left = C.fill_gather_left(args[0], args[1][0], args[2])
+        s1, s2 = C.sort_rows((args[0], args[1][0]), num_keys=1)
+        w1, w2 = np.sort(dk, axis=1), None
+    finally:
+        C.SORT_CELL_TRIGGER = old
+    for a, b in zip(want, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(want_or, got_or):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(want_1), np.asarray(got_1))
+    assert np.array_equal(np.asarray(want_left), np.asarray(got_left))
+    assert np.array_equal(np.asarray(s1), w1)

@@ -40,6 +40,7 @@ from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
+    compact_records,
     fill_gather,
     fill_records_dense,
     fill_gather_left,
@@ -49,6 +50,7 @@ from ..kernels.common import (
     resolve_copies,
     resolve_copies_wide,
     run_matchlens,
+    sort_rows,
 )
 from ..kernels.huffman import (
     MAX_CODE_LEN,
@@ -124,6 +126,8 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             payload[:, 256:], plen - 256, out_len, fc, br, lim,
             sym_by_rank, U, SUBSTEPS, rank_cap=rank_cap,
             interpret=(mode == "interpret"))
+        rec_pos, rec_val, errk = _compact_parse_records(
+            rec_pos, rec_val, errk, SUBSTEPS)
         return _records_to_output(rec_pos, rec_val, p_final, errk,
                                   out_len, N, U, mode)
 
@@ -331,6 +335,35 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
                               out_len, N, U)
 
 
+# min code length guaranteed by each substep bucket (_substeps_for
+# inverse): every decoded symbol consumes >= mcl bits
+_BUCKET_MCL = {5: 4, 9: 2, 17: 1}
+
+
+def _compact_parse_records(rec_pos, rec_val, errk, substeps):
+    """Shrink the Pallas parse record stream before the dense fill.
+
+    The stream is SS*2 slots per body byte, ~85% empty (SENT) on real
+    data; the fill's sort cost scales with stream width.  Per column
+    chunk covering ``steps`` body bytes, real records are bounded by the
+    bits those bytes can supply: <= (8*steps + 31) / mcl symbols (each
+    consumes >= mcl bits — the bucket's min code length, which the host
+    derived from the block's own table) + 1 carried pending completion.
+    Compacting to that bound is lossless by construction; the overflow
+    flag (possible only on a bound violation, i.e. a bug) lands in err.
+    """
+    SS = substeps
+    R = rec_pos.shape[1]
+    steps = 2048
+    chunk = steps * 2 * SS
+    if R <= chunk + chunk // 2:
+        return rec_pos, rec_val, errk
+    mcl = _BUCKET_MCL.get(SS, 1)
+    keep = (8 * steps + 31) // mcl + 2
+    pos_c, val_c, ovf = compact_records(rec_pos, rec_val, keep, chunk)
+    return pos_c, val_c, errk | ovf
+
+
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
                        mode=None):
     """Shared decode tail: monotone token records -> output bytes.
@@ -424,7 +457,7 @@ def _encode_impl(units, ulen, U):
     sym = jnp.where(committed, sym, NUM_SYMBOLS)  # sentinel for histogram
 
     # ---- histogram by sort ----
-    sym_sorted = jnp.sort(sym, axis=1)
+    (sym_sorted,) = sort_rows((sym,))
     rank1 = jnp.broadcast_to(
         jnp.arange(1, n + 1, dtype=jnp.int32)[None, :], (N, n)
     )

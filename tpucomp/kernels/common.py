@@ -14,6 +14,16 @@ from jax import lax
 
 
 _BIG = 1 << 29
+SENT_KEY = 1 << 28  # empty-record key (matches kernels' SENT)
+
+
+# Per-sort-instance compile budget (cells = rows x cols) for the dev
+# chip's remote AOT compile helper: ~1M cells compile in ~100 s, ~8M
+# hang it, very wide programs SIGKILL it.  Sorts above the trigger are
+# tiled into (row-slab, data-chunk, query-chunk) fori_loops around ONE
+# in-budget sort instance; runtime cost is unchanged (sort RUNTIME was
+# never the problem), compile size becomes constant in batch width.
+SORT_CELL_TRIGGER = 1 << 20
 
 
 def fill_gather(data_keys, data_vals, query_keys, reduce=None):
@@ -34,13 +44,28 @@ def fill_gather(data_keys, data_vals, query_keys, reduce=None):
     ``reduce="or"``: instead of last-entry-wins, equal-key data entries
     are OR-combined (segmented OR rides the existing fill scan for free);
     a query gets the OR of ALL data entries at the largest key <= q.
+
+    Large inputs auto-tile (see SORT_CELL_TRIGGER); results are
+    identical, including duplicate-key tie order.
     """
     single = not isinstance(data_vals, (tuple, list))
     vals_in = (data_vals,) if single else tuple(data_vals)
     N, P = data_keys.shape
     U = query_keys.shape[1]
+    if N * (P + U) > SORT_CELL_TRIGGER:
+        out = _fill_gather_tiled(
+            data_keys, vals_in, query_keys, reduce)
+        return out[0] if single else out
     if single and reduce is None:
         return _fill_gather_1(data_keys, vals_in[0], query_keys)
+    out = _fill_gather_mono(data_keys, vals_in, query_keys, reduce)
+    return out[0] if single else out
+
+
+def _fill_gather_mono(data_keys, vals_in, query_keys, reduce=None):
+    """Monolithic sort-merge fill (one instance; see fill_gather)."""
+    N, P = data_keys.shape
+    U = query_keys.shape[1]
     origin = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     # data sorts before queries at equal key: key*2 vs key*2+1
     keys = jnp.concatenate([data_keys * 2, query_keys * 2 + 1], axis=1)
@@ -100,8 +125,110 @@ def fill_gather(data_keys, data_vals, query_keys, reduce=None):
 
     outk = jnp.where(isq_s == 1, org_s, _BIG)  # query origin, or sink
     back = lax.sort((outk, *fills), dimension=1, num_keys=1)
-    outs = tuple(v[:, :U] for v in back[1:])
-    return outs[0] if single else outs
+    return tuple(v[:, :U] for v in back[1:])
+
+
+def _fill_gather_tiled(data_keys, vals_in, query_keys, reduce=None,
+                       slab=8, chunk=65536):
+    """fill_gather over (row-slab, data-chunk, query-chunk) tiles: ONE
+    in-budget sort instance regardless of input width.
+
+    Per query tile, data chunks combine by largest-bound-key-wins with
+    later-chunk-wins on ties (matching lax.sort stability on the
+    monolithic path); ``reduce="or"`` additionally ORs values when the
+    best keys of two chunks are equal (an equal-key run spanning the
+    chunk boundary).
+    """
+    N, P = data_keys.shape
+    U = query_keys.shape[1]
+    nv = len(vals_in)
+    dchunk = min(chunk, -(-P // 256) * 256)
+    qchunk = min(chunk, -(-U // 256) * 256)
+    # adaptive slab: fill the per-instance cell budget with rows when the
+    # tile is narrow (tall-narrow inputs would otherwise loop thousands
+    # of tiny fills)
+    slab = max(slab, SORT_CELL_TRIGGER // (dchunk + qchunk) // 8 * 8)
+    slab = min(slab, -(-N // 8) * 8)
+    npad = -(-N // slab) * slab
+    ppad = -(-P // dchunk) * dchunk
+    upad = -(-U // qchunk) * qchunk
+    # padded data entries carry key _BIG: no real query reaches them
+    dk = jnp.pad(data_keys, ((0, npad - N), (0, ppad - P)),
+                 constant_values=_BIG)
+    dvs = tuple(jnp.pad(v, ((0, npad - N), (0, ppad - P)))
+                for v in vals_in)
+    qk = jnp.pad(query_keys, ((0, npad - N), (0, upad - U)))
+    ops = lax.optimization_barrier((dk, qk) + dvs)
+    dk, qk, dvs = ops[0], ops[1], ops[2:]
+    nslab = npad // slab
+    nd = ppad // dchunk
+    nq = upad // qchunk
+    ones = jnp.ones((slab, dchunk), jnp.int32)
+
+    def body(t, state):
+        out_b, out_k, out_vs = state
+        di = t % nd
+        qi = (t // nd) % nq
+        si = (t // (nd * nq)) * slab
+        k = lax.dynamic_slice(dk, (si, di * dchunk), (slab, dchunk))
+        vs = tuple(lax.dynamic_slice(v, (si, di * dchunk), (slab, dchunk))
+                   for v in dvs)
+        q = lax.dynamic_slice(qk, (si, qi * qchunk), (slab, qchunk))
+        f = _fill_gather_mono(k, (ones, k) + vs, q, reduce=reduce)
+        fb, fk, fvs = f[0], f[1], f[2:]
+        co = (si, qi * qchunk)
+        cb = lax.dynamic_slice(out_b, co, (slab, qchunk))
+        ck = lax.dynamic_slice(out_k, co, (slab, qchunk))
+        cvs = tuple(lax.dynamic_slice(v, co, (slab, qchunk))
+                    for v in out_vs)
+        bound = fb == 1
+        take = bound & ((cb == 0) | (fk >= ck))
+        if reduce == "or":
+            merge = bound & (cb == 1) & (fk == ck)
+            fvs = tuple(jnp.where(merge, fv | cv, fv)
+                        for fv, cv in zip(fvs, cvs))
+        nb = jnp.where(take, 1, cb)
+        nk = jnp.where(take, fk, ck)
+        nvs = tuple(jnp.where(take, fv, cv) for fv, cv in zip(fvs, cvs))
+        out_b = lax.dynamic_update_slice(out_b, nb, co)
+        out_k = lax.dynamic_update_slice(out_k, nk, co)
+        out_vs = tuple(lax.dynamic_update_slice(v, n, co)
+                       for v, n in zip(out_vs, nvs))
+        return out_b, out_k, out_vs
+
+    z = jnp.zeros((npad, upad), jnp.int32)
+    out_b, _, out_vs = lax.fori_loop(
+        0, nslab * nq * nd, body,
+        (z, z, tuple(z for _ in range(nv))))
+    # unbound queries read 0 (matches the monolithic path)
+    return tuple(jnp.where(out_b == 1, v, 0)[:N, :U] for v in out_vs)
+
+
+def sort_rows(operands, num_keys=1, slab=8):
+    """lax.sort along axis 1, row-slab-looped above the compile budget
+    (SORT_CELL_TRIGGER): ONE [slab, P] sort instance at any batch."""
+    ops = tuple(operands)
+    N, P = ops[0].shape
+    if N * P <= SORT_CELL_TRIGGER or N <= slab:
+        return lax.sort(ops, dimension=1, num_keys=num_keys)
+    slab = max(slab, SORT_CELL_TRIGGER // P // 8 * 8)
+    slab = min(slab, -(-N // 8) * 8)
+    npad = -(-N // slab) * slab
+    pads = tuple(jnp.pad(o, ((0, npad - N), (0, 0))) for o in ops)
+    pads = lax.optimization_barrier(pads)
+
+    def body(t, outs):
+        si = t * slab
+        tiles = tuple(lax.dynamic_slice(p, (si, 0), (slab, P))
+                      for p in pads)
+        sorted_t = lax.sort(tiles, dimension=1, num_keys=num_keys)
+        return tuple(lax.dynamic_update_slice(o, s, (si, 0))
+                     for o, s in zip(outs, sorted_t))
+
+    outs = lax.fori_loop(
+        0, npad // slab, body,
+        tuple(jnp.zeros((npad, P), o.dtype) for o in ops))
+    return tuple(o[:N] for o in outs)
 
 
 def _fill_gather_1(data_keys, data_val, query_keys):
@@ -224,6 +351,57 @@ def fill_records_dense(data_keys, data_val, U, slab=8, chunk=65536):
     bv = lax.fori_loop(
         0, nslab * nchunk, body, jnp.zeros((npad, U), jnp.int32))
     return jnp.maximum(bv[:N], 1) - 1
+
+
+def compact_records(rec_pos, rec_val, keep, chunk, slab=8):
+    """Compact a sparse chronological record stream (SENT-keyed empty
+    slots) by sorting fixed-width column chunks so empties sink to each
+    chunk's tail, keeping the first ``keep`` columns per chunk.
+
+    Callers must guarantee ``keep`` bounds the real records per chunk
+    (for Huffman parse streams this follows from the bucket's min code
+    length: every decoded symbol consumes >= mcl bits).  ``overflow``
+    reports any dropped real record (possible only if that bound is
+    violated — OR it into the row's err).
+
+    Real keys are strictly increasing across the row, so per-chunk
+    sorting preserves global chronological order and the compacted
+    stream feeds fill_records_dense directly (kept SENT slots never
+    bind: queries < SENT).
+
+    Returns (pos [N, nchunk*keep], val, overflow [N] int32).
+    """
+    N, R = rec_pos.shape
+    assert keep <= chunk
+    rpad = -(-R // chunk) * chunk
+    npad = -(-N // slab) * slab
+    pk = jnp.pad(rec_pos, ((0, npad - N), (0, rpad - R)),
+                 constant_values=SENT_KEY)
+    pv = jnp.pad(rec_val, ((0, npad - N), (0, rpad - R)))
+    pk, pv = lax.optimization_barrier((pk, pv))
+    nslab = npad // slab
+    nchunk = rpad // chunk
+
+    def body(t, state):
+        out_k, out_v, ovf = state
+        si = (t // nchunk) * slab
+        ci = (t % nchunk) * chunk
+        k = lax.dynamic_slice(pk, (si, ci), (slab, chunk))
+        v = lax.dynamic_slice(pv, (si, ci), (slab, chunk))
+        ks, vs = lax.sort((k, v), dimension=1, num_keys=1)
+        o = (ks[:, keep:] < SENT_KEY).any(axis=1).astype(jnp.int32)
+        oc = lax.dynamic_slice(ovf, (si,), (slab,))
+        ovf = lax.dynamic_update_slice(ovf, oc | o, (si,))
+        co = (t % nchunk) * keep
+        out_k = lax.dynamic_update_slice(out_k, ks[:, :keep], (si, co))
+        out_v = lax.dynamic_update_slice(out_v, vs[:, :keep], (si, co))
+        return out_k, out_v, ovf
+
+    out_k = jnp.full((npad, nchunk * keep), SENT_KEY, jnp.int32)
+    out_v = jnp.zeros((npad, nchunk * keep), jnp.int32)
+    out_k, out_v, ovf = lax.fori_loop(
+        0, nslab * nchunk, body, (out_k, out_v, jnp.zeros(npad, jnp.int32)))
+    return out_k[:N], out_v[:N], ovf[:N]
 
 
 def fill_gather_left(data_keys, data_vals, query_keys):
@@ -382,7 +560,7 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
     )
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
     key = (h << pos_bits) | pos
-    skey, spos = lax.sort((key, pos), dimension=1, num_keys=1)
+    skey, spos = sort_rows((key, pos), num_keys=1)
     sh = skey >> pos_bits
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     cands_sorted = []
@@ -391,7 +569,7 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
         prev_h = jnp.roll(sh, k, axis=1)
         ok = (idx >= k) & (prev_h == sh)
         cands_sorted.append(jnp.where(ok, prev_pos, -1))
-    out = lax.sort((spos, *cands_sorted), dimension=1, num_keys=1)
+    out = sort_rows((spos, *cands_sorted), num_keys=1)
     return out[1:]
 
 

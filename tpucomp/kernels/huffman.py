@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .common import sort_rows
+
 NUM_SYMBOLS = 512
 MAX_CODE_LEN = 15
 _INF = 1 << 30
@@ -37,9 +39,8 @@ def huffman_code_lengths(freqs):
 
     # ---- leaves sorted by (freq, sym); unused sink to the end ----
     key = jnp.where(used, freqs, _INF)
-    leaf_freq, leaf_sym = lax.sort(
+    leaf_freq, leaf_sym = sort_rows(
         (key, jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (N, S)).copy()),
-        dimension=1,
         num_keys=1,
     )
 
@@ -230,7 +231,7 @@ def huffman_code_lengths(freqs):
     length_k = jnp.where(k_iota < n_used[:, None], length_k, 0)
 
     # ---- back to symbol order: sort (leaf_sym, length_k) by symbol ----
-    _, lengths = lax.sort((leaf_sym, length_k), dimension=1, num_keys=1)
+    _, lengths = sort_rows((leaf_sym, length_k), num_keys=1)
     return lengths
 
 
@@ -267,11 +268,11 @@ def canonical_from_lengths(lengths):
     # smaller index: via sort by (length, sym)
     sym_iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (N, S))
     sort_key = jnp.where(lengths > 0, (lengths << 10) | sym_iota, _INF)
-    _, sym_in_rank = lax.sort((sort_key, sym_iota), dimension=1, num_keys=1)
+    _, sym_in_rank = sort_rows((sort_key, sym_iota), num_keys=1)
     # rank r holds symbol sym_in_rank[r]; its code = fc[len] + (r - br[len])
     # compute in rank order then sort back to symbol order
-    len_in_rank, _ = lax.sort(
-        (jnp.where(lengths > 0, lengths, _INF), sym_iota), dimension=1, num_keys=1
+    len_in_rank, _ = sort_rows(
+        (jnp.where(lengths > 0, lengths, _INF), sym_iota), num_keys=1
     )
     r_iota = sym_iota
     # one-hot select fc/br by level (small: 16)
@@ -283,7 +284,7 @@ def canonical_from_lengths(lengths):
         len_in_rank <= MAX_CODE_LEN, fc_r + (r_iota - br_r), 0
     )
     # back to symbol order
-    _, codes = lax.sort((sym_in_rank, code_in_rank), dimension=1, num_keys=1)
+    _, codes = sort_rows((sym_in_rank, code_in_rank), num_keys=1)
     return codes, fc_arr, br_arr, lim_arr
 
 
@@ -293,6 +294,6 @@ def rank_to_symbol_table(lengths):
     N, S = lengths.shape
     sym_iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (N, S))
     sort_key = jnp.where(lengths > 0, (lengths << 10) | sym_iota, _INF)
-    _, sym_in_rank = lax.sort((sort_key, sym_iota), dimension=1, num_keys=1)
+    _, sym_in_rank = sort_rows((sort_key, sym_iota), num_keys=1)
     used = jnp.sum((lengths > 0).astype(jnp.int32), axis=1)
     return jnp.where(sym_iota < used[:, None], sym_in_rank, 0)
