@@ -337,7 +337,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
 
 # min code length guaranteed by each substep bucket (_substeps_for
 # inverse): every decoded symbol consumes >= mcl bits
-_BUCKET_MCL = {5: 4, 9: 2, 17: 1}
+_BUCKET_MCL = {3: 8, 5: 4, 9: 2, 17: 1}
 
 
 def _compact_parse_records(rec_pos, rec_val, errk, substeps):
@@ -665,9 +665,11 @@ def _min_code_len(streams):
 
 def _substeps_for(mcl: int) -> int:
     """Symbol sub-loop unroll needed per refill: ceil(16/min_len)+1,
-    quantized to a small set to bound compile variants."""
+    quantized to a small set to bound compile variants.  The 3-tier
+    (min code length >= 8: high-entropy/binary blocks) runs 40% fewer
+    substeps than the text-typical 5-tier."""
     need = -(-16 // max(mcl, 1)) + 1
-    for cap in (5, 9, 17):
+    for cap in (3, 5, 9, 17):
         if need <= cap:
             return cap
     return 17

@@ -87,14 +87,17 @@ def _build_kernel(U, SS, R3, SL):
         def decode_symbol(bitbuf):
             """(sym, code_len, found-mask) from the top 15 window bits."""
             peek15 = (bitbuf >> 17) & 0x7FFF
+            # level and rank-base in ONE pass: level = 1 + sum of
+            # [peek15 >= LIM15[l]] and rbf telescopes on the same
+            # predicates (rbf[level] = rbf[1] + sum_{l<level} drbf[l];
+            # row 16 = rbf[1], rows 16+l = drbf[l] = rbf[l+1]-rbf[l])
             level = jnp.ones((SL, 128), jnp.int32)
+            rbf = lvl_ref[16]
             for l in range(1, MAX_CODE_LEN):
-                level = level + _mk(peek15 >= lvl_ref[l])
+                pred = _mk(peek15 >= lvl_ref[l])
+                level = level + pred
+                rbf = rbf + pred * lvl_ref[16 + l]
             found = _mk(peek15 < lim15_top)
-            # rank = (br - fc)[level] + (peek15 >> (15 - level))
-            rbf = jnp.zeros((SL, 128), jnp.int32)
-            for l in range(1, MAX_CODE_LEN + 1):
-                rbf = rbf + _mk(level == l) * lvl_ref[16 + l]
             rank = (rbf + (peek15 >> (15 - level))) * found
             rdiv = (rank * 21846) >> 16  # exact rank // 3 for rank < 512
             rmod = rank - rdiv * 3
@@ -303,7 +306,12 @@ def parse_records(body, blen, out_len, fc, br, lim, sym_by_rank, U,
     lvl_iota = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
     lim15 = jnp.left_shift(lim, MAX_CODE_LEN - lvl_iota)
     rbf = br - fc
-    lvl = jnp.concatenate([lim15, rbf], axis=1)  # [N, 32]
+    # rows 16..30: rbf[1] then telescoping deltas drbf[l] = rbf[l+1] -
+    # rbf[l] (the kernel accumulates rbf on the level-find predicates)
+    drbf = jnp.concatenate(
+        [rbf[:, 1:2], rbf[:, 2:] - rbf[:, 1:-1],
+         jnp.zeros((N, 1), jnp.int32)], axis=1)
+    lvl = jnp.concatenate([lim15, drbf], axis=1)  # [N, 32]
 
     sympad = sym_by_rank[:, :rank_cap]
     if R3 * 3 > rank_cap:
