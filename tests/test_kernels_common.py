@@ -187,3 +187,33 @@ def test_fill_gather_tiled_matches_monolithic():
     assert np.array_equal(np.asarray(want_1), np.asarray(got_1))
     assert np.array_equal(np.asarray(want_left), np.asarray(got_left))
     assert np.array_equal(np.asarray(s1), w1)
+
+
+def test_resolve_pallas_segmented_matches_xla():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.kernels import resolve_pallas
+    from tpucomp.kernels.common import resolve_copies
+
+    rng = np.random.default_rng(23)
+    N, U = 6, 2048
+    is_copy = np.zeros((N, U), bool)
+    disp = np.ones((N, U), np.int32)
+    litv = rng.integers(0, 256, (N, U)).astype(np.int32)
+    for i in range(N):
+        j = 1
+        while j < U:
+            if rng.random() < 0.5:
+                ln = int(rng.integers(3, 40))
+                is_copy[i, j : j + ln] = True
+                # one disp per token span (overlaps allowed: d < len)
+                disp[i, j : j + ln] = int(rng.integers(1, j + 1))
+                j += ln
+            else:
+                j += int(rng.integers(1, 9))
+    a = (jnp.asarray(is_copy), jnp.asarray(disp), jnp.asarray(litv))
+    want = np.asarray(resolve_copies(*a))
+    got = np.asarray(
+        resolve_pallas.resolve_copies(*a, window=512, interpret=True)
+    )
+    assert np.array_equal(want, got)

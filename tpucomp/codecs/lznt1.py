@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import DataError
+from ..util import pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     fill_gather,
@@ -170,8 +171,15 @@ def decode_batch(payload, plen, is_comp):
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
 
-    # --- copy-chain resolution (windowed scan + far sort rounds) ---
-    out_comp = resolve_copies(is_copy_j, disp_j, litv)
+    # --- copy-chain resolution (segment-lane scan + far sort rounds) ---
+    mode = pallas_mode("TPUCOMP_RESOLVE_PALLAS")
+    if mode is not None:
+        from ..kernels import resolve_pallas
+
+        out_comp = resolve_pallas.resolve_copies(
+            is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+    else:
+        out_comp = resolve_copies(is_copy_j, disp_j, litv)
 
     out = jnp.where(is_comp[:, None], out_comp, payload[:, :CHUNK])
     out_len = jnp.where(is_comp, p_final, jnp.minimum(plen, CHUNK))

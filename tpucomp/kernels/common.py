@@ -17,13 +17,17 @@ _BIG = 1 << 29
 SENT_KEY = 1 << 28  # empty-record key (matches kernels' SENT)
 
 
-# Per-sort-instance compile budget (cells = rows x cols) for the dev
-# chip's remote AOT compile helper: ~1M cells compile in ~100 s, ~8M
-# hang it, very wide programs SIGKILL it.  Sorts above the trigger are
-# tiled into (row-slab, data-chunk, query-chunk) fori_loops around ONE
-# in-budget sort instance; runtime cost is unchanged (sort RUNTIME was
-# never the problem), compile size becomes constant in batch width.
-SORT_CELL_TRIGGER = 1 << 20
+# Compile budgets (cells = rows x cols) for the dev chip's remote AOT
+# compile helper: ~1M cells compile in ~100 s, ~8M hang it, very wide
+# programs SIGKILL it.  Sorts above SORT_CELL_TRIGGER are tiled into
+# (row-slab, data-chunk, query-chunk) fori_loops around ONE sort
+# instance of <= SORT_TILE_CELLS.  The trigger sits at the largest size
+# measured to both compile AND run fast monolithically (LZNT1's 512-row
+# 8K-col fills): tiling costs extra HBM round-trips (the barrier before
+# the loop defeats producer fusion), so small-but-over-1M programs stay
+# monolithic and pay a slower one-time cached compile instead.
+SORT_CELL_TRIGGER = 1 << 22
+SORT_TILE_CELLS = 1 << 20
 
 
 def fill_gather(data_keys, data_vals, query_keys, reduce=None):
@@ -147,7 +151,7 @@ def _fill_gather_tiled(data_keys, vals_in, query_keys, reduce=None,
     # adaptive slab: fill the per-instance cell budget with rows when the
     # tile is narrow (tall-narrow inputs would otherwise loop thousands
     # of tiny fills)
-    slab = max(slab, SORT_CELL_TRIGGER // (dchunk + qchunk) // 8 * 8)
+    slab = max(slab, SORT_TILE_CELLS // (dchunk + qchunk) // 8 * 8)
     slab = min(slab, -(-N // 8) * 8)
     npad = -(-N // slab) * slab
     ppad = -(-P // dchunk) * dchunk
@@ -211,7 +215,7 @@ def sort_rows(operands, num_keys=1, slab=8):
     N, P = ops[0].shape
     if N * P <= SORT_CELL_TRIGGER or N <= slab:
         return lax.sort(ops, dimension=1, num_keys=num_keys)
-    slab = max(slab, SORT_CELL_TRIGGER // P // 8 * 8)
+    slab = max(slab, SORT_TILE_CELLS // P // 8 * 8)
     slab = min(slab, -(-N // 8) * 8)
     npad = -(-N // slab) * slab
     pads = tuple(jnp.pad(o, ((0, npad - N), (0, 0))) for o in ops)
@@ -430,8 +434,10 @@ def gather_rows_slabbed(data, idx, slab=8):
     the remote compile helper hangs on wide-sort programs)."""
     N, K = data.shape
     Q = idx.shape[1]
-    if N <= 2 * slab:
+    if N <= 2 * slab or N * (K + Q) <= SORT_CELL_TRIGGER:
         return gather_rows(data, idx)
+    slab = max(slab, SORT_TILE_CELLS // (K + Q) // 8 * 8)
+    slab = min(slab, -(-N // 8) * 8)
     npad = -(-N // slab) * slab
     dpad = jnp.pad(data, ((0, npad - N), (0, 0)))
     ipad = jnp.pad(idx, ((0, npad - N), (0, 0)))

@@ -3,15 +3,18 @@
 Same two-stage scheme as kernels/common.resolve_copies ([MS-XCA] §2.x
 overlapping-copy semantics; the per-format back-copy loops of the
 reference decompressors): a forward walk over output positions carrying
-a ring of the last W resolved values — near sources (d <= W) resolve
-in-ring via a one-hot over the W ring rows; far sources become
-FAR_TAG pointers resolved afterwards by the existing XLA sort-gather
-rounds (kernels.common._far_rounds).
+the already-resolved near values — near sources resolve via an in-VMEM
+select; far sources become FAR_TAG pointers resolved afterwards by XLA
+sort-gather pointer-doubling rounds (kernels.common._far_rounds).
 
-The XLA scan pays per-step dispatch overhead plus a [N, W] one-hot per
-position; here one fori step per position costs ~2W/8 VREG-ops for
-SL*128 lanes (W ring rows live in VMEM scratch), so W trades near-hit
-rate against ALU directly.
+The key layout decision: rows are cut into SEG-byte segments and the
+segments become extra VPU lanes.  The walk is then SEG sequential steps
+(not U): for a 64 KiB block batch that's 128x fewer steps at 128x more
+lanes — the VPU runs full tiles instead of idling on a serial scan.
+Sources before the segment start are tagged far exactly like sources
+beyond the window were in the row-sequential form, and the existing
+doubling rounds absorb them (each round halves every chain, so
+convergence is log2(depth) regardless of hop distance).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import FAR_TAG, _far_rounds
 
 RCH = 128  # positions per grid chunk
+SEG = 512  # segment length = near window (one lane per segment)
 
 
 def _mk(c):
@@ -34,22 +38,23 @@ def _mk(c):
 
 
 def _build_kernel(W, SL):
-    def kernel(v_ref, out_ref, win_ref):
+    def kernel(base_ref, v_ref, out_ref, win_ref):
         c = pl.program_id(1)
+        base = base_ref[0]
 
         @pl.when(c == 0)
         def _init():
             win_ref[...] = jnp.zeros((W, SL, 128), jnp.int32)
 
         def step(k, _):
-            j = c * RCH + k
+            j = c * RCH + k  # segment-local position
             v = v_ref[k]
             # packed: litv(9) | disp(17) | is_copy(1<<26)
             iscp = _mk((v >> 26) & 1)
             d = (v >> 9) & 0x1FFFF
             lv = v & 0x1FF
-            near = iscp * _mk(d <= jnp.minimum(j, W))
-            widx = near * ((j - d) % W)
+            near = iscp * _mk(d <= j)  # in-segment source
+            widx = near * (j - d)
             # row-loop select (NOT a 3D one-hot reduce: a [W, SL, 128]
             # axis-0 reduction per step hangs the Mosaic compile; the
             # same pattern as the parse kernel's table scan compiles
@@ -57,7 +62,7 @@ def _build_kernel(W, SL):
             nearval = jnp.zeros((SL, 128), jnp.int32)
             for w in range(W):
                 nearval = jnp.where(widx == w, win_ref[w], nearval)
-            farptr = FAR_TAG | jnp.maximum(j - d, 0)
+            farptr = FAR_TAG | jnp.maximum(base + j - d, 0)
             val = lv + iscp * (nearval + (1 - near) * (farptr - nearval) - lv)
             win_ref[j % W] = val
             out_ref[k] = val
@@ -69,33 +74,40 @@ def _build_kernel(W, SL):
 
 
 @functools.lru_cache(maxsize=None)
-def _resolve_call(W, SL, T, U, interpret):
-    C = U // RCH
+def _resolve_call(W, SL, T, S, interpret):
+    C = S // RCH
     NL = T * SL
     return pl.pallas_call(
         _build_kernel(W, SL),
         grid=(T, C),
         in_specs=[
+            pl.BlockSpec((1, SL, 128), lambda i, c: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((RCH, SL, 128), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((RCH, SL, 128), lambda i, c: (c, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((U, NL, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((S, NL, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((W, SL, 128), jnp.int32)],
         interpret=bool(interpret),
     )
 
 
-def resolve_copies(is_copy, disp, litv, window=512, interpret=False):
-    """Drop-in for kernels/common.resolve_copies (near ring in Pallas,
-    far rounds in XLA).  U must be a multiple of 128."""
+def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False):
+    """Drop-in for kernels/common.resolve_copies (segment-lane near scan
+    in Pallas, pointer-doubling far rounds in XLA).  U must be a
+    multiple of 128."""
     N, U = is_copy.shape
+    S = min(window, U)
+    nseg = U // S
+    assert U % S == 0
+    NR = N * nseg  # lanes: one per segment, block-major
     # SL must reach 8 whenever multiple lane tiles exist (Pallas TPU
     # requires block minor-2 dims divisible by (8, 128) unless equal to
     # the array dims), and full (8,128) tiles load/store efficiently
-    SL = min(8, -(-N // 128))
-    T = -(-N // (SL * 128))
+    SL = min(8, -(-NR // 128))
+    T = -(-NR // (SL * 128))
     NL = T * SL
 
     # clamp corrupt disps to the 17-bit field; such rows are already
@@ -103,9 +115,13 @@ def resolve_copies(is_copy, disp, litv, window=512, interpret=False):
     v = ((litv & 0x1FF)
          | (jnp.where(is_copy, jnp.minimum(disp, 0x1FFFF), 0) << 9)
          | jnp.where(is_copy, 1 << 26, 0))
-    v = jnp.pad(v, ((0, NL * 128 - N), (0, 0)))
-    v = v.T.reshape(U, NL, 128)
+    v = v.reshape(NR, S)
+    v = jnp.pad(v, ((0, NL * 128 - NR), (0, 0)))
+    v = v.T.reshape(S, NL, 128)
+    base = jnp.tile(
+        jnp.arange(nseg, dtype=jnp.int32) * S, (N,))
+    base = jnp.pad(base, (0, NL * 128 - NR)).reshape(1, NL, 128)
 
-    out = _resolve_call(window, SL, T, U, interpret)(v)
-    out = out.transpose(1, 2, 0).reshape(NL * 128, U)[:N]
-    return _far_rounds(out, U, window)
+    out = _resolve_call(S, SL, T, S, interpret)(base, v)
+    out = out.transpose(1, 2, 0).reshape(NL * 128, S)[:NR].reshape(N, U)
+    return _far_rounds(out, U, S)
