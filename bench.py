@@ -28,24 +28,34 @@ BASELINE_GBPS = 1.0
 
 
 def chained(fn, args, reps=REPS):
-    """Build+run fn chained `reps` times in one dispatch; return s/rep."""
+    """Build+run fn chained `reps` times in one dispatch; return s/rep.
+
+    The iteration salt is ``min(outs) * zero`` where ``zero`` is a
+    RUNTIME INPUT (value 0): with a literal ``* 0`` XLA folds the salt
+    to a constant, finds the body loop-invariant, hoists it, and the
+    "chained" loop times ONE execution as if it were ``reps`` (measured
+    2026-08-19: foldable-salt totals are flat in reps; opaque-salt
+    totals scale linearly).  Every number this file ever produced with
+    the foldable form was inflated by up to the rep count.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def run(*a):
+    def run(zero, *a):
         def body(i, s):
             outs = fn(*a, s)
-            return jnp.min(outs) * 0
+            return jnp.min(outs) * zero
 
         return lax.fori_loop(0, reps, body, jnp.int32(0))
 
-    r = run(*args)
+    z = jnp.int32(0)
+    r = run(z, *args)
     r.block_until_ready()
     _ = np.asarray(r)  # force full completion through the tunnel
     t0 = time.perf_counter()
-    r = run(*args)
+    r = run(z, *args)
     _ = np.asarray(r)
     return (time.perf_counter() - t0) / reps
 

@@ -217,3 +217,26 @@ def test_resolve_pallas_segmented_matches_xla():
         resolve_pallas.resolve_copies(*a, window=512, interpret=True)
     )
     assert np.array_equal(want, got)
+
+
+def test_mxu_gather_rows_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.kernels.common import mxu_gather_rows, FAR_TAG
+
+    rng = np.random.default_rng(31)
+    N, K, Q = 5, 1000, 700
+    # full int32 range stress incl. tags and negatives
+    data = rng.integers(-(1 << 31), 1 << 31, (N, K), dtype=np.int64).astype(
+        np.int32
+    )
+    data[0, :10] = [0, -1, 1, FAR_TAG | 65535, -(1 << 31), (1 << 31) - 1,
+                    255, 1 << 28, -12345, 42]
+    idx = rng.integers(0, K, (N, Q)).astype(np.int32)
+    idx[1, :5] = [-3, K, K + 100, 0, K - 1]  # out-of-range reads 0
+    want = np.take_along_axis(data, np.clip(idx, 0, K - 1), axis=1)
+    want[(idx < 0) | (idx >= K)] = 0
+    got = np.asarray(
+        mxu_gather_rows(jnp.asarray(data), jnp.asarray(idx), qchunk=256)
+    )
+    assert np.array_equal(want, got)

@@ -55,13 +55,17 @@ def _build_kernel(W, SL):
             lv = v & 0x1FF
             near = iscp * _mk(d <= j)  # in-segment source
             widx = near * (j - d)
-            # row-loop select (NOT a 3D one-hot reduce: a [W, SL, 128]
-            # axis-0 reduction per step hangs the Mosaic compile; the
-            # same pattern as the parse kernel's table scan compiles
-            # in seconds)
+            # chunked 3D one-hot reduces: a vector reduce runs ~3 ns/row
+            # vs ~28 ns/row for a ref-load + select loop (the parse
+            # kernel's table scan), but a single [512, SL, 128] axis-0
+            # reduction hangs the Mosaic compile — 128-row chunks do not
             nearval = jnp.zeros((SL, 128), jnp.int32)
-            for w in range(W):
-                nearval = jnp.where(widx == w, win_ref[w], nearval)
+            iota_c = lax.broadcasted_iota(jnp.int32, (RCH, 1, 1), 0)
+            for c4 in range(W // RCH):
+                oh = (widx[None] - c4 * RCH) == iota_c
+                nearval = nearval + jnp.sum(
+                    jnp.where(oh, win_ref[c4 * RCH:(c4 + 1) * RCH], 0),
+                    axis=0)
             farptr = FAR_TAG | jnp.maximum(base + j - d, 0)
             val = lv + iscp * (nearval + (1 - near) * (farptr - nearval) - lv)
             win_ref[j % W] = val
