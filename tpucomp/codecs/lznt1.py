@@ -46,6 +46,7 @@ from ..errors import DataError
 from ..util import pallas_mode
 from ..kernels.common import (
     capped_matchlen,
+    multi_matchlens,
     fill_gather,
     fill_gather_left,
     hash_candidates,
@@ -229,9 +230,10 @@ def encode_batch(chunks, clen):
 
     # hash candidates, scored by capped word-compare
     w = le_words(chunks)
-    for cand in hash_candidates(chunks, pos_bits=12, num_cands=3):
-        valid = cand >= 0
-        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n, cap=32)
+    cands = hash_candidates(chunks, pos_bits=12, num_cands=3)
+    cvalids = [c >= 0 for c in cands]
+    mls = multi_matchlens(w, cands, cvalids, n, cap=32)
+    for cand, valid, ml in zip(cands, cvalids, mls):
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
     # clip to format + chunk limits

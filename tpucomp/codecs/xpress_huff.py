@@ -40,6 +40,7 @@ from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
+    multi_matchlens,
     compact_records,
     fill_gather,
     fill_records_dense,
@@ -429,11 +430,11 @@ def _encode_impl(units, ulen, U):
     for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
     w = le_words(units)
-    for cand in hash_candidates(units, num_cands=3):
-        disp = pos - cand
-        valid = cand >= 0
-        ml = capped_matchlen(w, jnp.maximum(cand, 0), valid, n, cap=32)
-        consider(ml, disp, valid & (ml >= MIN_MATCH))
+    cands = hash_candidates(units, num_cands=3)
+    cvalids = [c >= 0 for c in cands]
+    mls = multi_matchlens(w, cands, cvalids, n, cap=32)
+    for cand, valid, ml in zip(cands, cvalids, mls):
+        consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
     best_len = jnp.minimum(best_len, in_len - pos)
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)

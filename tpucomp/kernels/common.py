@@ -18,15 +18,15 @@ SENT_KEY = 1 << 28  # empty-record key (matches kernels' SENT)
 
 
 # Compile budgets (cells = rows x cols) for the dev chip's remote AOT
-# compile helper: ~1M cells compile in ~100 s, ~8M hang it, very wide
-# programs SIGKILL it.  Sorts above SORT_CELL_TRIGGER are tiled into
+# compile helper.  Sorts above SORT_CELL_TRIGGER are tiled into
 # (row-slab, data-chunk, query-chunk) fori_loops around ONE sort
-# instance of <= SORT_TILE_CELLS.  The trigger sits at the largest size
-# measured to both compile AND run fast monolithically (LZNT1's 512-row
-# 8K-col fills): tiling costs extra HBM round-trips (the barrier before
-# the loop defeats producer fusion), so small-but-over-1M programs stay
-# monolithic and pay a slower one-time cached compile instead.
-SORT_CELL_TRIGGER = 1 << 22
+# instance of <= SORT_TILE_CELLS.  Measured honestly (opaque-salt
+# chained reps, 2026-08-19) on a [512, 4K+4K] = 4M-cell fill: monolithic
+# 17.8 ms/rep but a 24-MINUTE compile; tiled 29.7 ms/rep at a 63 s
+# compile.  The 1.7x runtime cost buys compile times that make
+# iteration (and cache-miss robustness) viable; 2M keeps mid-size
+# shapes monolithic at ~1-2 min compiles.
+SORT_CELL_TRIGGER = 1 << 21
 SORT_TILE_CELLS = 1 << 20
 
 
@@ -631,34 +631,49 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
 
 
 def capped_matchlen(w, cand, valid, n, cap=16):
-    """Match length (≤ cap) of each row vs itself at candidate positions.
+    """Match length (≤ cap) of each row vs itself at candidate positions
+    (single-candidate wrapper over multi_matchlens)."""
+    return multi_matchlens(w, [cand], [valid], n, cap=cap)[0]
 
-    ``w`` is the le_words() view.  All cap/4 candidate-side words are
-    fetched with ONE multi-value fill_gather (a single sort pass instead
-    of per-word 10ns/element gathers); XOR + count-trailing-zeros finds
-    the first differing byte (little-endian ⇒ low byte is first).
-    Windows clipped at the row tail earn no credit (always safe: the
-    measured prefix is verified equal).
+
+def multi_matchlens(w, cands, valids, n, cap=16):
+    """Match lengths (≤ cap) for SEVERAL candidate arrays at once.
+
+    ``w`` is the le_words() view.  All candidates' cap/4 words are
+    fetched with ONE multi-value fill_gather over concatenated queries —
+    (n data + k*n queries) * (3 + cap/4) plane-cells instead of k
+    separate fills at (2n) * (3 + cap/4) each (the encoder's dominant
+    sort).  XOR + count-trailing-zeros finds the first differing byte
+    (little-endian ⇒ low byte is first).  Windows clipped at the row
+    tail earn no credit (always safe: the measured prefix is verified
+    equal).
     """
     N = w.shape[0]
+    K = len(cands)
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
     keys = jnp.broadcast_to(pos, (N, n))
     nwords = cap // 4
     shifted = tuple(jnp.roll(w, -4 * t, axis=1) for t in range(nwords))
-    wbs = fill_gather(keys, shifted, jnp.clip(cand, 0, n - 1))
-    total = jnp.zeros_like(cand)
-    alive = valid
-    for tword in range(nwords):
-        off = 4 * tword
-        wa = shifted[tword]  # w[pos + off]: uniform shift
-        v = wa ^ wbs[tword]
-        tz = 32 - lax.clz(v & -v) - 1  # masked below where v == 0
-        agree = jnp.where(v == 0, 4, tz >> 3)
-        clipped = ((pos + off) > (n - 4)) | (jnp.clip(cand, 0, n - 1) + off > n - 4)
-        agree = jnp.where(clipped, 0, agree)
-        total = total + jnp.where(alive, agree, 0)
-        alive = alive & (v == 0) & ~clipped
-    return jnp.where(valid, total, 0)
+    clipped_c = [jnp.clip(c, 0, n - 1) for c in cands]
+    queries = jnp.concatenate(clipped_c, axis=1)
+    wbs_all = fill_gather(keys, shifted, queries)
+    outs = []
+    for k in range(K):
+        cc = clipped_c[k]
+        total = jnp.zeros_like(cc)
+        alive = valids[k]
+        for tword in range(nwords):
+            off = 4 * tword
+            wa = shifted[tword]  # w[pos + off]: uniform shift
+            v = wa ^ wbs_all[tword][:, k * n : (k + 1) * n]
+            tz = 32 - lax.clz(v & -v) - 1  # masked below where v == 0
+            agree = jnp.where(v == 0, 4, tz >> 3)
+            clip_m = ((pos + off) > (n - 4)) | (cc + off > n - 4)
+            agree = jnp.where(clip_m, 0, agree)
+            total = total + jnp.where(alive, agree, 0)
+            alive = alive & (v == 0) & ~clip_m
+        outs.append(jnp.where(valids[k], total, 0))
+    return outs
 
 
 def run_matchlens(x, disps):
