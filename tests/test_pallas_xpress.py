@@ -56,3 +56,38 @@ def test_pallas_flags_truncated_stream(corpus, monkeypatch):
     with pytest.raises(DataError):
         xp.decompress_units([stream[: len(stream) // 2]], [len(units[0])],
                             unit_size=U)
+
+
+def test_lznt1_pallas_parse_matches_xla(corpus, monkeypatch):
+    """LZNT1 Pallas parse kernel decodes oracle streams bit-exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpucomp.codecs import lznt1 as codec
+    from tpucomp.kernels import lznt1_pallas
+    from tpucomp.oracle import lznt1 as oracle
+
+    data = corpus(40000) + b"\x00" * 5000 + corpus(3000)
+    stream = oracle.compress(data)
+    payloads, comps = codec.split_stream(stream)
+    N = len(payloads)
+    payload = np.zeros((N, codec.PAYLOAD_PAD), np.int32)
+    plen = np.zeros(N, np.int32)
+    is_comp = np.zeros(N, bool)
+    for k, (pl_, cp) in enumerate(zip(payloads, comps)):
+        a = np.frombuffer(pl_, np.uint8)
+        payload[k, : len(a)] = a
+        plen[k] = len(a)
+        is_comp[k] = cp
+    args = (jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(is_comp))
+
+    rp, rv, pf, errk = lznt1_pallas.parse_records(
+        args[0], args[1], args[2], codec.CHUNK, interpret=True)
+    assert not np.asarray(errk).any()
+    out, out_len, err = codec._records_to_output(
+        rp, rv, pf, errk != 0, args[0], args[1], args[2], N)
+    assert not np.asarray(err).any()
+    got = b"".join(
+        np.asarray(out[i, : int(out_len[i])]).astype(np.uint8).tobytes()
+        for i in range(N)
+    )
+    assert got == data

@@ -109,6 +109,16 @@ def decode_batch(payload, plen, is_comp):
       err:     [N] bool malformed-stream flag
     """
     N, P = payload.shape
+    kmode = pallas_mode("TPUCOMP_LZNT1_PALLAS")
+    if kmode is not None:
+        from ..kernels import lznt1_pallas
+
+        rec_pos, rec_val, p_final, errk = lznt1_pallas.parse_records(
+            payload, plen, is_comp, CHUNK,
+            interpret=(kmode == "interpret"))
+        err = errk != 0
+        return _records_to_output(
+            rec_pos, rec_val, p_final, err, payload, plen, is_comp, N)
     bytes_T = payload.T  # [P, N] step-major scan operand
     steps = jnp.arange(P, dtype=jnp.int32)
 
@@ -164,7 +174,13 @@ def decode_batch(payload, plen, is_comp):
 
     rec_pos = rec_pos_T.T  # [N, P]; monotone non-decreasing (carry-replicated)
     rec_val = rec_val_T.T
+    return _records_to_output(
+        rec_pos, rec_val, p_final, err, payload, plen, is_comp, N)
 
+
+def _records_to_output(rec_pos, rec_val, p_final, err, payload, plen,
+                       is_comp, N):
+    """Shared decode tail: token records -> output bytes."""
     # --- records -> dense per-output-position token info (sort fill) ---
     j = jnp.broadcast_to(jnp.arange(CHUNK, dtype=jnp.int32)[None, :], (N, CHUNK))
     vpack = fill_gather(rec_pos, rec_val, j)
