@@ -32,7 +32,7 @@ def main():
         canonical_from_lengths,
         rank_to_symbol_table,
     )
-    from tpucomp.kernels.common import fill_records_dense
+    from tpucomp.kernels.common import fill_records_delta
     from tpucomp.util import pallas_mode
 
     data = silesia_like(corpus_mb << 20)
@@ -75,25 +75,26 @@ def main():
     print(f"# majority bucket: ss={ss} rank_cap={rc} P={P} N={N} "
           f"({sel_bytes / (1 << 20):.1f} MB)")
 
-    # ---- stage functions ----
-    @jax.jit
-    def stage_tables(pay):
-        lengths = xh._unpack_table(pay)
+    # ---- stage functions (each takes a salt that perturbs an input:
+    # the axon tunnel elides repeated identical dispatches, so unsalted
+    # reps time ~RTT only — see bench.py) ----
+    def stage_tables(pay, s):
+        lengths = xh._unpack_table(pay + s)
         _, fc, br, lim = canonical_from_lengths(lengths)
         sym = rank_to_symbol_table(lengths)
         return fc, br, lim, sym
 
-    def stage_parse(pay, pl, ol, fc, br, lim, sym):
+    def stage_parse(pay, pl, ol, fc, br, lim, sym, s):
         return xh_pallas.parse_records(
-            pay[:, 256:], pl - 256, ol, fc, br, lim, sym, U, ss,
+            pay[:, 256:], pl - 256, ol + s, fc, br, lim, sym, U, ss,
             rank_cap=rc, interpret=(mode == "interpret"))
 
-    @jax.jit
-    def stage_fill(rec_pos, rec_val):
-        return fill_records_dense(rec_pos, rec_val, U)
+    def stage_fill(rec_pos, rec_val, s):
+        return fill_records_delta(rec_pos + s, rec_val, U)
 
-    def stage_resolve(vpack, ol):
+    def stage_resolve(vpack, ol, s):
         j = jnp.arange(U, dtype=jnp.int32)[None, :]
+        vpack = vpack + s
         is_copy_j = (vpack & xh._COPY_BIT) != 0
         disp_j = vpack & (xh._COPY_BIT - 1)
         litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
@@ -108,16 +109,19 @@ def main():
             out = resolve_copies_wide(is_copy_j, disp_j, litv)
         return jnp.where(j < ol[:, None], out, 0)
 
-    stage_parse_j = jax.jit(stage_parse)
-    stage_resolve_j = jax.jit(stage_resolve)
-
     def timeit(name, fn, *args):
-        out = fn(*args)
+        f = jax.jit(fn)
+        salt = jnp.int32(0)
+        out = f(*args, salt)
         jax.block_until_ready(out)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(*args)
-            jax.block_until_ready(out)
+            out = f(*args, salt)
+            salt = jnp.min(
+                jax.tree_util.tree_leaves(out)[0].ravel()[:1]) * 0
+        jax.block_until_ready((out, salt))
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         dt = (time.perf_counter() - t0) / reps
         gbps = sel_bytes / dt / 1e9
         print(f"{name:12s} {dt * 1e3:9.2f} ms   {gbps:7.3f} GB/s")
@@ -125,15 +129,17 @@ def main():
 
     fc, br, lim, sym = timeit("tables", stage_tables, d_pay)
     rec_pos, rec_val, p_final, errk = timeit(
-        "parse", stage_parse_j, d_pay, d_plen, d_olen, fc, br, lim, sym)
+        "parse", stage_parse, d_pay, d_plen, d_olen, fc, br, lim, sym)
     print(f"# record slots/row: {rec_pos.shape[1]}  "
           f"nonempty: {int(np.asarray((rec_pos < (1 << 28)).sum(axis=1)).max())} max")
     vpack = timeit("fill", stage_fill, rec_pos, rec_val)
-    timeit("resolve", stage_resolve_j, vpack, d_olen)
+    timeit("resolve", stage_resolve, vpack, d_olen)
 
     # end-to-end for reference
-    dec = xh._dec_for(U, ss, mode, rc)
-    timeit("end2end", dec, d_pay, d_plen, d_olen)
+    def e2e(pay, pl, ol, s):
+        return xh._decode_impl(pay, pl, ol + s, U, ss, mode, rc)[0]
+
+    timeit("end2end", e2e, d_pay, d_plen, d_olen)
 
 
 if __name__ == "__main__":

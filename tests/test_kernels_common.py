@@ -240,3 +240,86 @@ def test_mxu_gather_rows_exact():
         mxu_gather_rows(jnp.asarray(data), jnp.asarray(idx), qchunk=256)
     )
     assert np.array_equal(want, got)
+
+
+def test_compact_monotone_basic():
+    from tpucomp.kernels.common import compact_monotone
+
+    pos = jnp.asarray([[9, 5, 9, 7, 8, 9, 2, 9],
+                       [1, 2, 3, 4, 9, 9, 9, 9]])
+    val = jnp.asarray([[0, 50, 0, 70, 80, 0, 20, 0],
+                       [10, 20, 30, 40, 0, 0, 0, 0]])
+    empty = pos == 9
+    (cp, cv), valid = compact_monotone(empty, (pos, val))
+    assert list(np.asarray(cp)[0][:4]) == [5, 7, 8, 2]
+    assert list(np.asarray(cv)[0][:4]) == [50, 70, 80, 20]
+    assert list(np.asarray(valid)[0]) == [True] * 4 + [False] * 4
+    assert list(np.asarray(cp)[1][:4]) == [1, 2, 3, 4]
+    assert list(np.asarray(valid)[1]) == [True] * 4 + [False] * 4
+
+
+def test_compact_monotone_random():
+    from tpucomp.kernels.common import compact_monotone
+
+    g = np.random.default_rng(0xC0FFEE)
+    N, R = 5, 777
+    empty_np = g.random((N, R)) < 0.8
+    vals_np = g.integers(1, 1 << 20, (N, R)).astype(np.int32)
+    (cv,), valid = compact_monotone(
+        jnp.asarray(empty_np), (jnp.asarray(vals_np),))
+    cv, valid = np.asarray(cv), np.asarray(valid)
+    for n in range(N):
+        want = vals_np[n][~empty_np[n]]
+        assert list(cv[n][: len(want)]) == list(want)
+        assert valid[n].sum() == len(want)
+        assert not valid[n][len(want):].any()
+        assert (cv[n][len(want):] == 0).all()
+
+
+def test_compact_monotone_keep():
+    from tpucomp.kernels.common import compact_monotone
+
+    pos = jnp.asarray([[1, 9, 2, 9, 3, 9, 4, 9]])
+    (cp,), valid = compact_monotone(pos == 9, (pos,), keep=4)
+    assert cp.shape == (1, 4)
+    assert list(np.asarray(cp)[0]) == [1, 2, 3, 4]
+    assert list(np.asarray(valid)[0]) == [True] * 4
+
+
+def test_fill_records_delta_matches_fill_gather():
+    from tpucomp.kernels.common import fill_records_delta
+
+    g = np.random.default_rng(7)
+    N, U = 4, 512
+    SENT = 1 << 28
+    for trial in range(3):
+        rows_pos, rows_val = [], []
+        for n in range(N):
+            npos = int(g.integers(1, 60))
+            pos = np.sort(g.choice(U, npos, replace=False))
+            val = g.integers(0, 1 << 21, npos)
+            # interleave SENT empties, keep chronological reals
+            R = 96
+            p = np.full(R, SENT, np.int64)
+            v = np.zeros(R, np.int64)
+            slots = np.sort(g.choice(R, npos, replace=False))
+            p[slots] = pos
+            v[slots] = val
+            rows_pos.append(p)
+            rows_val.append(v)
+        rp = jnp.asarray(np.stack(rows_pos).astype(np.int32))
+        rv = jnp.asarray(np.stack(rows_val).astype(np.int32))
+        got = np.asarray(fill_records_delta(rp, rv, U))
+        j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None], (N, U))
+        want = np.asarray(fill_gather(rp, rv, j))
+        assert (got == want).all(), trial
+
+
+def test_fill_records_delta_duplicates():
+    from tpucomp.kernels.common import fill_records_delta
+
+    # duplicate positions: LATER record wins (carry-replicated streams)
+    rp = jnp.asarray([[0, 3, 3, 3, 7, -1]])
+    rv = jnp.asarray([[5, 10, 11, 12, 900, 0]])
+    out = np.asarray(fill_records_delta(rp, rv, 10))[0]
+    assert list(out) == [5, 5, 5, 12, 12, 12, 12, 900, 900, 900]

@@ -49,6 +49,7 @@ from ..kernels.common import (
     multi_matchlens,
     fill_gather,
     fill_gather_left,
+    fill_records_delta,
     hash_candidates,
     le_words,
     resolve_copies,
@@ -183,7 +184,7 @@ def _records_to_output(rec_pos, rec_val, p_final, err, payload, plen,
     """Shared decode tail: token records -> output bytes."""
     # --- records -> dense per-output-position token info (sort fill) ---
     j = jnp.broadcast_to(jnp.arange(CHUNK, dtype=jnp.int32)[None, :], (N, CHUNK))
-    vpack = fill_gather(rec_pos, rec_val, j)
+    vpack = fill_records_delta(rec_pos, rec_val, CHUNK)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)

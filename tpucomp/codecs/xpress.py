@@ -42,7 +42,7 @@ from ..kernels.common import (
     capped_matchlen,
     multi_matchlens,
     fill_gather,
-    fill_records_dense,
+    fill_records_delta,
     fill_gather_left,
     greedy_commit,
     hash_candidates,
@@ -264,7 +264,7 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
     """Shared decode tail: monotone token records -> output bytes."""
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_records_dense(rec_pos, rec_val, U)
+    vpack = fill_records_delta(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)

@@ -41,9 +41,9 @@ from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     capped_matchlen,
     multi_matchlens,
-    compact_records,
+    compact_chronological,
+    fill_records_delta,
     fill_gather,
-    fill_records_dense,
     fill_gather_left,
     greedy_commit,
     hash_candidates,
@@ -127,10 +127,10 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             payload[:, 256:], plen - 256, out_len, fc, br, lim,
             sym_by_rank, U, SUBSTEPS, rank_cap=rank_cap,
             interpret=(mode == "interpret"))
-        rec_pos, rec_val, errk = _compact_parse_records(
-            rec_pos, rec_val, errk, SUBSTEPS)
+        keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
+        keep = -(-keep // 128) * 128
         return _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U, mode)
+                                  out_len, N, U, mode, keep=keep)
 
     iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
     iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
@@ -332,46 +332,31 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
     S, _, NREC = rec_pos_T.shape
     rec_pos = rec_pos_T.transpose(1, 0, 2).reshape(N, S * NREC)
     rec_val = rec_val_T.transpose(1, 0, 2).reshape(N, S * NREC)
+    keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
+    keep = -(-keep // 128) * 128
     return _records_to_output(rec_pos, rec_val, p_final, carry[-1],
-                              out_len, N, U)
+                              out_len, N, U, keep=keep)
 
 
 # min code length guaranteed by each substep bucket (_substeps_for
-# inverse): every decoded symbol consumes >= mcl bits
+# inverse): every decoded symbol consumes >= mcl bits, bounding the
+# record count of a body (compact_chronological keep bound)
 _BUCKET_MCL = {3: 8, 5: 4, 9: 2, 17: 1}
 
 
-def _compact_parse_records(rec_pos, rec_val, errk, substeps):
-    """Shrink the Pallas parse record stream before the dense fill.
-
-    The stream is SS*2 slots per body byte, ~85% empty (SENT) on real
-    data; the fill's sort cost scales with stream width.  Per column
-    chunk covering ``steps`` body bytes, real records are bounded by the
-    bits those bytes can supply: <= (8*steps + 31) / mcl symbols (each
-    consumes >= mcl bits — the bucket's min code length, which the host
-    derived from the block's own table) + 1 carried pending completion.
-    Compacting to that bound is lossless by construction; the overflow
-    flag (possible only on a bound violation, i.e. a bug) lands in err.
-    """
-    SS = substeps
-    R = rec_pos.shape[1]
-    steps = 2048
-    chunk = steps * 2 * SS
-    if R <= chunk + chunk // 2:
-        return rec_pos, rec_val, errk
-    mcl = _BUCKET_MCL.get(SS, 1)
-    keep = (8 * steps + 31) // mcl + 2
-    pos_c, val_c, ovf = compact_records(rec_pos, rec_val, keep, chunk)
-    return pos_c, val_c, errk | ovf
-
-
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
-                       mode=None):
+                       mode=None, keep=None):
     """Shared decode tail: monotone token records -> output bytes.
-    Records with key >= queries' range (sentinels) never bind."""
+    Records with key >= queries' range (sentinels) never bind.
+    ``keep``: sound bound on real records per row — compacts the raw
+    slot stream before the fill (the fill's MXU cost scales with it)."""
+    if keep is not None and keep < rec_pos.shape[1]:
+        rec_pos, rec_val, ovf = compact_chronological(
+            rec_pos, rec_val, U, keep)
+        errk = errk | ovf
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_records_dense(rec_pos, rec_val, U)
+    vpack = fill_records_delta(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)

@@ -408,6 +408,150 @@ def compact_records(rec_pos, rec_val, keep, chunk, slab=8):
     return out_k[:N], out_v[:N], ovf[:N]
 
 
+def compact_monotone(empty, operands, keep=None):
+    """Stable left-compaction of rows: non-empty entries keep their order
+    and pack to the left; tail slots report empty.  Returns
+    (operands_compacted, valid_mask) — sliced to ``keep`` columns if given.
+
+    Sort-free: entry i's left-shift s_i = #empties before it is
+    NON-DECREASING along the row, so LSB->MSB power-of-2 gather passes
+    move every entry collision-free: after processing bits 0..b the
+    intermediate positions q_i = p_i - (s_i mod 2^{b+1}) satisfy
+    q_{i+1} - q_i >= t_{i+1} - t_i >= 1 (t = final target), i.e. they
+    stay strictly increasing, and a slot's incoming and staying entries
+    are never both present.  ceil(log2(R)) elementwise passes ~= 10x
+    cheaper than the lax.sort a sort-based compaction pays at
+    record-stream widths (sort ~1.5 ns/cell; this ~8 bytes/cell/pass).
+    """
+    ops = tuple(operands)
+    N, R = empty.shape
+    e = empty.astype(jnp.int32)
+    # rem_i = #empties before entry i (= its total left shift); -1 = empty
+    rem = jnp.where(empty, -1, jnp.cumsum(e, axis=1))
+    nb = max(1, (R - 1).bit_length())
+
+    def shift_left(x, sh, fill):
+        return jnp.concatenate(
+            [x[:, sh:], jnp.full((N, sh), fill, x.dtype)], axis=1)
+
+    for b in range(nb):
+        sh = 1 << b
+        rem_s = shift_left(rem, sh, -1)
+        move_in = (rem_s >= 0) & ((rem_s & sh) != 0)
+        stay = (rem >= 0) & ((rem & sh) == 0)
+        new_ops = []
+        for o in ops:
+            o_s = shift_left(o, sh, 0)
+            new_ops.append(jnp.where(move_in, o_s, jnp.where(stay, o, 0)))
+        ops = tuple(new_ops)
+        rem = jnp.where(move_in, rem_s - sh, jnp.where(stay, rem, -1))
+    valid = rem >= 0
+    if keep is not None:
+        ops = tuple(o[:, :keep] for o in ops)
+        valid = valid[:, :keep]
+    return ops, valid
+
+
+def compact_chronological(rec_pos, rec_val, U, keep):
+    """Dedupe + left-compact a chronological record stream to its first
+    ``keep`` real records, for fill_records_delta.
+
+    Handles both stream shapes the parse scans emit: SENT-keyed empty
+    slots (Pallas event slots) and carry-replicated duplicates (XLA
+    snapshot streams — consecutive slots repeating the same position;
+    real records always advance the position, so a repeated position is
+    always a replica and the FIRST occurrence carries the value).
+
+    Returns (pos, val, overflow): empty tail slots report pos = U
+    (ignored by the fill); ``overflow`` flags rows with more than
+    ``keep`` real records (impossible for streams that respect the
+    caller's bound — OR it into err).
+    """
+    N = rec_pos.shape[0]
+    prev = jnp.concatenate(
+        [jnp.full((N, 1), -2, jnp.int32), rec_pos[:, :-1]], axis=1)
+    empty = (rec_pos < 0) | (rec_pos >= U) | (rec_pos == prev)
+    overflow = (
+        jnp.sum((~empty).astype(jnp.int32), axis=1) > keep
+    ).astype(jnp.int32)
+    (p, v), valid = compact_monotone(empty, (rec_pos, rec_val), keep=keep)
+    return jnp.where(valid, p, U), v, overflow
+
+
+def fill_records_delta(rec_pos, rec_val, U, rchunk=4096):
+    """Dense fill: out[n, j] = value of the last record with pos <= j
+    (0 if none), for every j in [0, U).
+
+    Sort-free replacement for fill_records_dense.  Requires records
+    CHRONOLOGICAL among real entries (duplicate positions allowed —
+    later wins by telescoping); any pos outside [0, U) counts as empty;
+    values in [0, 2^21).
+
+    Three steps, all streaming:
+      1. per-slot previous real value (log-depth forward fill) ->
+         delta_i = (val_i - prev_i) mod 2^22;
+      2. scatter-add deltas to their positions with one-hot matmuls on
+         the MXU — exact: three 8-bit bf16 byte planes, f32 accumulation
+         (plane sums < 2^24), combined in int32 where mod-2^32 wrap is
+         harmless because 2^22 | 2^32;
+      3. cumsum along j and mod 2^22 reconstructs the piecewise-constant
+         fill.
+    """
+    N, R = rec_pos.shape
+    real = (rec_pos >= 0) & (rec_pos < U)
+    rl = real.astype(jnp.int32)
+
+    def comb(a, b):
+        ha, va = a
+        hb, vb = b
+        return ha | hb, vb + (1 - hb) * va
+
+    _, incl_v = lax.associative_scan(
+        comb, (rl, jnp.where(real, rec_val, 0)), axis=1)
+    prev_v = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32), incl_v[:, :-1]], axis=1)
+    dval = jnp.where(real, (rec_val - prev_v) & 0x3FFFFF, 0)
+
+    UR = -(-U // 128)
+    # chunk the record axis so each one-hot intermediate stays ~128 MB
+    rchunk = min(rchunk, max(128, ((1 << 26) // max(1, N * UR)) // 128 * 128))
+    prow = jnp.where(real, rec_pos >> 7, UR)  # UR = scatter miss
+    plane = jnp.where(real, rec_pos & 127, 0)
+    iota_ur = jnp.arange(UR, dtype=jnp.int32)
+    iota_l = jnp.arange(128, dtype=jnp.int32)
+    rpad = -(-R // rchunk) * rchunk
+    prow = jnp.pad(prow, ((0, 0), (0, rpad - R)), constant_values=UR)
+    plane = jnp.pad(plane, ((0, 0), (0, rpad - R)))
+    dval = jnp.pad(dval, ((0, 0), (0, rpad - R)))
+    ops = lax.optimization_barrier((prow, plane, dval))
+    prow, plane, dval = ops
+
+    def chunk(c, delta):
+        c0 = c * rchunk
+        pr = lax.dynamic_slice(prow, (0, c0), (N, rchunk))
+        pl = lax.dynamic_slice(plane, (0, c0), (N, rchunk))
+        dv = lax.dynamic_slice(dval, (0, c0), (N, rchunk))
+        ohr = (pr[:, :, None] == iota_ur[None, None, :]).astype(jnp.bfloat16)
+        ohl = pl[:, :, None] == iota_l[None, None, :]
+        rhs = jnp.concatenate(
+            [jnp.where(ohl, ((dv >> (8 * b)) & 0xFF)[:, :, None], 0
+                       ).astype(jnp.bfloat16) for b in range(3)],
+            axis=2)  # [N, rc, 384]
+        g = lax.dot_general(
+            ohr, rhs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [N, UR, 384]
+        return delta + (
+            g[:, :, 0:128].astype(jnp.int32)
+            + (g[:, :, 128:256].astype(jnp.int32) << 8)
+            + (g[:, :, 256:384].astype(jnp.int32) << 16)
+        )
+
+    delta = lax.fori_loop(
+        0, rpad // rchunk, chunk, jnp.zeros((N, UR, 128), jnp.int32))
+    out = jnp.cumsum(delta.reshape(N, UR * 128), axis=1) & 0x3FFFFF
+    return out[:, :U]
+
+
 def fill_gather_left(data_keys, data_vals, query_keys):
     """For each query q: value of the FIRST data entry with key >= q
     (the searchsorted-left counterpart of fill_gather).  Implemented by
@@ -455,7 +599,7 @@ def gather_rows_slabbed(data, idx, slab=8):
     return out[:N]
 
 
-def mxu_gather_rows(data, idx, qchunk=1024):
+def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
     """Exact per-row gather data[n, idx[n, j]] via one-hot matmuls.
 
     TPU has no vector gather; sorts emulate it at ~0.6 Gcells/s, but the
@@ -471,17 +615,20 @@ def mxu_gather_rows(data, idx, qchunk=1024):
     only for giant K with few queries.
 
     Out-of-range idx reads 0 (clipped one-hot misses).  int32 in/out.
+    ``nbits``: value width bound — plane-dots above ceil(nbits/8) are
+    skipped (cost is MAC-bound at planes * N*Q*K MACs).
     """
     N, K = data.shape
     Q = idx.shape[1]
     R = -(-K // 128)
+    nplanes = min(4, -(-nbits // 8))
     d3 = jnp.pad(data, ((0, 0), (0, R * 128 - K))).reshape(N, R, 128)
-    # four 8-bit planes in bf16: products/sums stay exact (<=255 fits the
+    # 8-bit planes in bf16: products/sums stay exact (<=255 fits the
     # 8-bit mantissa; one-hot rows contribute a single term; f32
     # accumulation), and bf16 runs the MXU at full rate with half the
     # one-hot HBM traffic of f32
     planes = [(lax.shift_right_logical(d3, 8 * b) & 0xFF)
-              .astype(jnp.bfloat16) for b in range(4)]
+              .astype(jnp.bfloat16) for b in range(nplanes)]
     iota_r = jnp.arange(R, dtype=jnp.int32)
     iota_l = jnp.arange(128, dtype=jnp.int32)
     qpad = -(-Q // qchunk) * qchunk
@@ -786,30 +933,51 @@ def resolve_copies_wide(is_copy, disp, litv, window=RESOLVE_WINDOW, unroll=16):
 def _far_rounds(out, U, min_hop):
     """Resolve FAR_TAG pointer chains by iterated gathers.  Each round
     is pointer DOUBLING (a fetched tag is the target's own pointer, so
-    every chain halves per round: log2(depth) rounds); the cap
-    guarantees termination on corrupt (cyclic) streams.
+    every chain halves per round: log2(depth) rounds); round caps
+    guarantee termination on corrupt (cyclic) streams.
 
-    The per-round gather runs on the MXU (mxu_gather_rows): measured
-    honestly, a [512, 4K+4K] sort-gather costs ~18-30 ms while the
-    equivalent one-hot matmul is bandwidth/MAC bound at ~N*U*U MACs —
-    ~0.3 ms for LZNT1 rows, ~4 ms/row-chunk for 64 KiB rows.
+    The gathers run on the MXU (mxu_gather_rows), whose cost is
+    MAC-bound at planes * N * Q * K — so rounds run LEVEL-SEGMENTED:
+    first with rows cut into 4 KiB segments (gather table K = 4096,
+    16x cheaper per round; in-segment chains — the vast majority once
+    the 512-byte near window has run — resolve here), then full-row
+    rounds for the few chains that cross segment boundaries.  Values are
+    re-encoded to 18 bits (resolved byte, or bit17 | local target) so
+    each gather runs 3 plane-dots instead of 4.
     """
     N = out.shape[0]
-    jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    max_rounds = max(1, (U - 1).bit_length()) + 3
+    levels = [s for s in (4096,) if min_hop < s < U] + [U]
+    for S in levels:
+        nseg = U // S
+        NR = N * nseg
+        tagged = ((out & FAR_TAG) != 0).reshape(NR, S)
+        src = (out & (FAR_TAG - 1)).reshape(NR, S)  # ABSOLUTE source
+        # 18-bit state: resolved value (<=9 bits), or (1<<17)|abs_src
+        st = jnp.where(tagged, (1 << 17) | src,
+                       out.reshape(NR, S) & 0x1FF)
+        base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
+        max_rounds = max(1, (S - 1).bit_length()) + 3
 
-    def far_cond(state):
-        o, r = state
-        return jnp.any((o & FAR_TAG) != 0) & (r < max_rounds)
+        def cond(state, _S=S, _base=base):
+            st, r = state
+            live = (st >> 17) == 1
+            srcp = st & 0x1FFFF
+            local = live & (srcp >= _base) & (srcp < _base + _S)
+            return jnp.any(local) & (r < max_rounds)
 
-    def far_round(state):
-        o, r = state
-        tagged = (o & FAR_TAG) != 0
-        tgt = jnp.where(tagged, o & (FAR_TAG - 1), jpos)
-        fetched = mxu_gather_rows(o, tgt)
-        return jnp.where(tagged, fetched, o), r + 1
+        def round_(state, _S=S, _base=base):
+            st, r = state
+            live = (st >> 17) == 1
+            srcp = st & 0x1FFFF
+            chase = live & (srcp >= _base) & (srcp < _base + _S)
+            f = mxu_gather_rows(
+                st, jnp.where(chase, srcp - _base, 0), nbits=18)
+            return jnp.where(chase, f, st), r + 1
 
-    out, _ = lax.while_loop(far_cond, far_round, (out, jnp.int32(0)))
+        st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+        live = (st >> 17) == 1
+        res = jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
+        out = res.reshape(N, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
