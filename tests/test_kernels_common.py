@@ -323,3 +323,79 @@ def test_fill_records_delta_duplicates():
     rv = jnp.asarray([[5, 10, 11, 12, 900, 0]])
     out = np.asarray(fill_records_delta(rp, rv, 10))[0]
     assert list(out) == [5, 5, 5, 12, 12, 12, 12, 900, 900, 900]
+
+
+def test_scatter_add_matmul():
+    from tpucomp.kernels.common import scatter_add_matmul
+
+    g = np.random.default_rng(3)
+    N, R, U = 3, 500, 640
+    pos = g.integers(-5, U + 5, (N, R)).astype(np.int32)
+    val = g.integers(0, 1 << 16, (N, R)).astype(np.int32)
+    got = np.asarray(scatter_add_matmul(
+        jnp.asarray(pos), jnp.asarray(val), U, nbits=16))
+    want = np.zeros((N, U), np.int64)
+    for n in range(N):
+        for i in range(R):
+            if 0 <= pos[n, i] < U:
+                want[n, pos[n, i]] += val[n, i]
+    assert (got == want).all()
+
+
+def test_histogram_matmul():
+    from tpucomp.kernels.common import histogram_matmul
+
+    g = np.random.default_rng(4)
+    N, n, B = 3, 3000, 512
+    sym = g.integers(0, B + 1, (N, n)).astype(np.int32)  # B = sentinel
+    got = np.asarray(histogram_matmul(jnp.asarray(sym), B))
+    for k in range(N):
+        want = np.bincount(sym[k][sym[k] < B], minlength=B)
+        assert (got[k] == want).all()
+
+
+def test_expand_monotone_roundtrip():
+    from tpucomp.kernels.common import compact_monotone, expand_monotone
+
+    g = np.random.default_rng(11)
+    N, R = 4, 300
+    empty_np = g.random((N, R)) < 0.7
+    vals_np = g.integers(1, 1 << 20, (N, R)).astype(np.int32)
+    pos_np = np.broadcast_to(np.arange(R, dtype=np.int32), (N, R)).copy()
+    (cv, cp), valid = compact_monotone(
+        jnp.asarray(empty_np), (jnp.asarray(vals_np), jnp.asarray(pos_np)))
+    iota = jnp.arange(R, dtype=jnp.int32)[None, :]
+    (ev,), placed = expand_monotone(~valid, (cv,), cp - iota, R)
+    ev, placed = np.asarray(ev), np.asarray(placed)
+    for n in range(N):
+        want_mask = ~empty_np[n]
+        assert (placed[n] == want_mask).all()
+        assert (ev[n][want_mask] == vals_np[n][want_mask]).all()
+        assert (ev[n][~want_mask] == 0).all()
+
+
+def test_far_level_compact_property():
+    from tpucomp.kernels.common import FAR_TAG, _far_rounds
+
+    # random valid chain structure: each position is a literal or a
+    # far pointer strictly earlier; expected = chase to the literal
+    g = np.random.default_rng(12)
+    N, U = 2, 16384
+    out = np.zeros((N, U), np.int64)
+    for n in range(N):
+        out[n, 0] = g.integers(0, 256)
+        for j in range(1, U):
+            if g.random() < 0.4:
+                out[n, j] = FAR_TAG | int(g.integers(0, j))
+            else:
+                out[n, j] = g.integers(0, 256)
+    got = np.asarray(_far_rounds(
+        jnp.asarray(out.astype(np.int32)), U, 512))
+    want = np.zeros((N, U), np.int64)
+    for n in range(N):
+        for j in range(U):
+            v = out[n, j]
+            while v & FAR_TAG:
+                v = out[n, v & (FAR_TAG - 1)]
+            want[n, j] = v
+    assert (got == want).all()

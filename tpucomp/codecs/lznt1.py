@@ -45,15 +45,13 @@ from jax import lax
 from ..errors import DataError
 from ..util import pallas_mode
 from ..kernels.common import (
-    capped_matchlen,
     multi_matchlens,
-    fill_gather,
-    fill_gather_left,
     fill_records_delta,
     hash_candidates,
     le_words,
     resolve_copies,
     run_matchlens,
+    scatter_add_matmul,
 )
 
 CHUNK = 4096
@@ -292,64 +290,51 @@ def encode_batch(chunks, clen):
     t_after = t_after_T.T  # tokens committed up to and including p
     data_before = data_before_T.T
 
-    # ---- token-major views: ONE multi-value sort fill (first position
-    # whose running token count reaches t+1 = position of token t) ----
-    tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
-    tok_exists = tq < T_total[:, None]
-    iscp_tm, len_tm, disp_tm, dsh_tm, lit_tm, dbefore_tm = fill_gather_left(
-        t_after,
-        (
-            (committed & use_match).astype(jnp.int32),
-            best_len,
-            best_disp,
-            jnp.broadcast_to(d_shift, (N, n)).astype(jnp.int32),
-            chunks,
-            data_before,
-        ),
-        tq + 1,
-    )
-    iscp_tm = (iscp_tm == 1) & tok_exists
-    grp_tm = tq >> 3
-    off_tm = jnp.where(
-        tok_exists, (grp_tm + 1) + dbefore_tm, MAX_PAYLOAD + 16
-    )  # monotone; absent tokens pushed past the end
-    tokv_tm = jnp.left_shift(disp_tm - 1, dsh_tm) | (len_tm - MIN_MATCH)
-    b0_tm = jnp.where(iscp_tm, tokv_tm & 0xFF, lit_tm)
+    # ---- byte assembly: the stream is a partition (each payload byte
+    # written exactly once), so the whole layout is THREE position-major
+    # MXU scatter-adds — no token-major fill and no sort fills at all.
+    # Committed position p is token t = t_after[p]-1 in group t>>3; its
+    # first byte sits at (t>>3 + 1) + data_before[p] (one flag byte per
+    # started group precedes the group's data bytes).
+    t_idx = t_after - 1
+    grp_p = t_idx >> 3
+    off_p = grp_p + 1 + data_before
+    iscp_p = committed & use_match
+    tokv = jnp.left_shift(best_disp - 1, jnp.broadcast_to(d_shift, (N, n))
+                          ) | (best_len - MIN_MATCH)
+    b0 = jnp.where(iscp_p, tokv & 0xFF, chunks)
 
-    # group flag bytes: value = OR of copy bits; position = off(first tok)
-    # - 1.  Tokens of a group are contiguous in token-major order, so this
-    # is a pure reshape — no gathers.
+    # group flag bytes, assembled in group-index space: copy tokens
+    # scatter their bit; each group's FIRST token scatters the group's
+    # flag-byte position (+1 so a real position 0 survives the 0=empty
+    # convention of scatter-add slots)
     NG = n // 8
     gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
-    iscp_g = iscp_tm.astype(jnp.int32).reshape(N, NG, 8)
-    fval = jnp.zeros((N, NG), jnp.int32)
-    for k in range(8):
-        fval = fval | jnp.left_shift(iscp_g[:, :, k], k)
-    fpos = off_tm.reshape(N, NG, 8)[:, :, 0] - 1
-    grp_exists = gq * 8 < T_total[:, None]
-    fpos = jnp.where(grp_exists, fpos, MAX_PAYLOAD + 16)
+    fval = scatter_add_matmul(
+        jnp.where(iscp_p, grp_p, -1),
+        jnp.left_shift(1, t_idx & 7), NG, nbits=8)
+    fpos1 = scatter_add_matmul(
+        jnp.where(committed & ((t_idx & 7) == 0), grp_p, -1),
+        off_p, NG, nbits=14)  # = flag position + 1
+    ngroups = (T_total + 7) >> 3
+    grp_exists = gq < ngroups[:, None]
 
-    # ---- payload bytes: each position finds its content via two
-    # multi-value sort fills (covering token, covering flag byte) ----
     MAXQ = MAX_PAYLOAD
     bq = jnp.broadcast_to(
         jnp.arange(MAXQ, dtype=jnp.int32)[None, :], (N, MAXQ)
     )
-    off_b, iscp_b, b0_b, tokhi_b = fill_gather(
-        off_tm,
-        (off_tm, iscp_tm.astype(jnp.int32), b0_tm, tokv_tm >> 8),
-        bq,
-    )
-    is_b0 = bq == off_b
-    is_b1 = (bq == off_b + 1) & (iscp_b == 1)
-    fpos_b, fval_b = fill_gather(fpos, (fpos, fval), bq)
-    is_flag = bq == fpos_b
-    val = jnp.where(
-        is_flag,
-        fval_b,
-        jnp.where(is_b0, b0_b, jnp.where(is_b1, tokhi_b, 0)),
-    )
-    ngroups = (T_total + 7) >> 3
+    val = scatter_add_matmul(
+        jnp.concatenate([
+            jnp.where(committed, off_p, -1),
+            jnp.where(iscp_p, off_p + 1, -1),
+            jnp.where(grp_exists, fpos1 - 1, -1),
+        ], axis=1),
+        jnp.concatenate([
+            jnp.where(committed, b0, 0),
+            jnp.where(iscp_p, tokv >> 8, 0),
+            jnp.where(grp_exists, fval, 0),
+        ], axis=1),
+        MAXQ, nbits=8)
     plen = jnp.where(T_total > 0, ngroups + data_total, 0)
     payload = jnp.where(bq < plen[:, None], val, 0)
     return payload, plen

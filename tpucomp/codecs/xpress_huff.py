@@ -22,10 +22,13 @@ rank -> symbol through a one-hot select over the per-block [512] table
 (the only per-row "lookup"; small enough to be pure VPU arithmetic).
 Copy resolution reuses kernels.common.resolve_copies.
 
-Encode: shared match kernels; histogram by sort; device Huffman
-(two-queue + 15-bit repair + canonical); a layout scan reproduces the
-lazy-flush 16-bit-LE word writer bit-for-bit (word values/positions and
-interleaved escape bytes recovered gather-side with fill_gather).
+Encode: shared match kernels; histogram via one-hot matmul bincount;
+device Huffman (two-queue + 15-bit repair + canonical); a closed-form
+layout reproduces the lazy-flush 16-bit-LE word writer bit-for-bit —
+bit-field and byte-slot positions are a partition of the stream, so
+word values and the final body assemble with MXU scatter-adds
+(disjoint-bit OR == ADD) plus one delta-fill for the escape-byte
+interleave shift.
 """
 
 from __future__ import annotations
@@ -39,19 +42,18 @@ from jax import lax
 from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
-    capped_matchlen,
     multi_matchlens,
     compact_chronological,
     fill_records_delta,
-    fill_gather,
-    fill_gather_left,
     greedy_commit,
     hash_candidates,
+    histogram_matmul,
     le_words,
+    mxu_gather_rows,
     resolve_copies,
     resolve_copies_wide,
     run_matchlens,
-    sort_rows,
+    scatter_add_matmul,
 )
 from ..kernels.huffman import (
     MAX_CODE_LEN,
@@ -442,27 +444,17 @@ def _encode_impl(units, ulen, U):
     )
     sym = jnp.where(committed, sym, NUM_SYMBOLS)  # sentinel for histogram
 
-    # ---- histogram by sort ----
-    (sym_sorted,) = sort_rows((sym,))
-    rank1 = jnp.broadcast_to(
-        jnp.arange(1, n + 1, dtype=jnp.int32)[None, :], (N, n)
-    )
-    s_iota = jnp.broadcast_to(
-        jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :], (N, NUM_SYMBOLS)
-    )
-    cnt_le = fill_gather(sym_sorted, rank1, s_iota)
-    freqs = cnt_le - jnp.concatenate(
-        [jnp.zeros((N, 1), jnp.int32), cnt_le[:, :-1]], axis=1
-    )
+    # ---- histogram (one-hot matmul bincount; sentinel 512 drops) ----
+    freqs = histogram_matmul(sym, NUM_SYMBOLS)
 
     # ---- Huffman lengths + canonical codes ----
     lengths = huffman_code_lengths(freqs)
     codes, _, _, _ = canonical_from_lengths(lengths)
 
-    # ---- per-position (code, len) lookup ----
+    # ---- per-position (code, len) lookup (MXU gather over [512]) ----
     packed_tbl = (codes << 5) | lengths  # code<=15 bits, len<=15
-    codelen_p = fill_gather(
-        s_iota, packed_tbl, jnp.minimum(sym, NUM_SYMBOLS - 1)
+    codelen_p = mxu_gather_rows(
+        packed_tbl, jnp.minimum(sym, NUM_SYMBOLS - 1), nbits=20
     )
     code_p = codelen_p >> 5
     clen_p = codelen_p & 0x1F
@@ -523,54 +515,54 @@ def _encode_impl(units, ulen, U):
     a_w0, a_lo, a_w1, a_hi = field_records(S_A, bitsA, code_v)
     b_w0, b_lo, b_w1, b_hi = field_records(S_B, bitsB, offraw_v)
 
-    def interleave(a, b):  # [N, n] x2 -> [N, 2n], token order preserved
-        return jnp.stack([a, b], axis=2).reshape(N, 2 * n)
-
+    # ---- word values: one MXU scatter-add (each stream bit is written
+    # exactly once, so disjoint-bit OR combining == ADD) ----
     WMAX = n + 8  # bits <= 15L+30M with L+3M <= n  =>  words <= 15n/16+1
     wq = jnp.broadcast_to(jnp.arange(WMAX, dtype=jnp.int32)[None, :], (N, WMAX))
-    wv_lo, wk_lo = fill_gather(
-        interleave(a_w0, b_w0), (interleave(a_lo, b_lo), interleave(a_w0, b_w0)),
-        wq, reduce="or",
+    word_val = scatter_add_matmul(
+        jnp.concatenate([a_w0, b_w0, a_w1, b_w1], axis=1),
+        jnp.concatenate([a_lo, b_lo, a_hi, b_hi], axis=1),
+        WMAX, nbits=16,
     )
-    wv_hi, wk_hi = fill_gather(
-        interleave(a_w1, b_w1), (interleave(a_hi, b_hi), interleave(a_w1, b_w1)),
-        wq, reduce="or",
-    )
-    word_val = jnp.where(wk_lo == wq, wv_lo, 0) | jnp.where(wk_hi == wq, wv_hi, 0)
     nwords = F + (Btot - 16 * F > 0).astype(jnp.int32)
     # reserved-but-unwritten slots hold zeros (like the oracle writer)
     wval = jnp.where(wq < nwords[:, None], word_val, 0)
 
     # slot byte position: j<2 -> 2j; else 2j + (escape bytes before the
     # token that flushed word j-2) — the decoder reads 2 words ahead.
-    # Sentinel row: slots past the last flush sit after ALL escapes.
-    ekeys = jnp.concatenate(
-        [flushes_after, jnp.full((N, 1), 1 << 27, jnp.int32)], axis=1
+    # Delta-fill form: E_p of the FIRST token with flushes_after >= w-1
+    # == Eafter of the LAST token with flushes_after <= w-2 (keys are
+    # non-decreasing); no such token -> 0 = E_p[0]; all tokens before ->
+    # Eafter[last] = raw_total.  Both match the escape-interleave spec.
+    ef = fill_records_delta(flushes_after, Eafter, WMAX)
+    e_shift = jnp.concatenate(
+        [jnp.zeros((N, 2), jnp.int32), ef[:, : WMAX - 2]], axis=1
     )
-    evals = jnp.concatenate([E_p, raw_total[:, None]], axis=1)
-    e_shift = fill_gather_left(ekeys, evals, jnp.maximum(wq - 1, 0))
     wpos = jnp.where(wq < 2, 2 * wq, 2 * wq + e_shift)
     slots_total = 2 + F
 
-    # ---- escape-byte records keyed by start position ----
+    # ---- escape-byte start positions ----
     r_start = 4 + 2 * flushes_after + E_p
-    r_key = jnp.where(nraw > 0, r_start, 1 << 28)
 
-    # ---- byte assembly ----
+    # ---- byte assembly: ONE single-plane scatter-add over all byte
+    # records (2 per word slot + <=3 escape bytes per token; the stream
+    # is a partition, so positions are disjoint) ----
     body_len = 2 * slots_total + raw_total
     PB = 2 * n + 16  # body capacity
     bq = jnp.broadcast_to(jnp.arange(PB, dtype=jnp.int32)[None, :], (N, PB))
-    # word membership: last word slot position <= b
-    wslot_key = jnp.where(wq < slots_total[:, None], wpos, 1 << 28)
-    wv_b, wpos_b = fill_gather(wslot_key, (wval, wpos), bq)
-    in_word = (bq - wpos_b >= 0) & (bq - wpos_b < 2)
-    word_byte = (wv_b >> ((bq - wpos_b) * 8)) & 0xFF
-    # raw membership
-    rs_b, rc_b, rp_b = fill_gather(r_key, (r_start, nraw, esc_pack), bq)
-    dr = bq - rs_b
-    in_raw = (dr >= 0) & (dr < rc_b)
-    raw_byte = (rp_b >> (jnp.minimum(dr, 3) * 8)) & 0xFF
-    body = jnp.where(in_word, word_byte, jnp.where(in_raw, raw_byte, 0))
+    wvalid = wq < slots_total[:, None]
+    wp0 = jnp.where(wvalid, wpos, -1)
+    wp1 = jnp.where(wvalid, wpos + 1, -1)
+    esc_parts_pos = [
+        jnp.where(nraw > k, r_start + k, -1) for k in range(3)
+    ]
+    esc_parts_val = [(esc_pack >> (8 * k)) & 0xFF for k in range(3)]
+    body = scatter_add_matmul(
+        jnp.concatenate([wp0, wp1, *esc_parts_pos], axis=1),
+        jnp.concatenate(
+            [wval & 0xFF, wval >> 8, *esc_parts_val], axis=1),
+        PB, nbits=8,
+    )
     body = jnp.where(bq < body_len[:, None], body, 0)
 
     # ---- table prefix ----

@@ -452,6 +452,44 @@ def compact_monotone(empty, operands, keep=None):
     return ops, valid
 
 
+def expand_monotone(empty, operands, shift, width):
+    """Inverse of compact_monotone: entry at column c moves RIGHT to
+    column c + shift[c], where shifts are non-decreasing among non-empty
+    entries and targets strictly increase (< width).  Returns
+    (operands_expanded, placed_mask) at ``width`` columns; slots that
+    receive no entry read 0 / False.
+
+    MSB->LSB power-of-2 passes — the mirror of compact_monotone's
+    collision-freedom proof: applying high shift bits first keeps
+    intermediate positions strictly increasing.
+    """
+    ops = tuple(operands)
+    N, R = empty.shape
+    if width > R:
+        pad = ((0, 0), (0, width - R))
+        empty = jnp.pad(empty, pad, constant_values=True)
+        ops = tuple(jnp.pad(o, pad) for o in ops)
+        shift = jnp.pad(shift, pad)
+    rem = jnp.where(empty, -1, shift)
+    nb = max(1, (width - 1).bit_length())
+
+    def shift_right(x, sh, fill):
+        return jnp.concatenate(
+            [jnp.full((N, sh), fill, x.dtype), x[:, :-sh]], axis=1)
+
+    for b in reversed(range(nb)):
+        sh = 1 << b
+        rem_s = shift_right(rem, sh, -1)
+        move_in = (rem_s >= 0) & ((rem_s & sh) != 0)
+        stay = (rem >= 0) & ((rem & sh) == 0)
+        ops = tuple(
+            jnp.where(move_in, shift_right(o, sh, 0),
+                      jnp.where(stay, o, 0))
+            for o in ops)
+        rem = jnp.where(move_in, rem_s - sh, jnp.where(stay, rem, -1))
+    return ops, rem == 0
+
+
 def compact_chronological(rec_pos, rec_val, U, keep):
     """Dedupe + left-compact a chronological record stream to its first
     ``keep`` real records, for fill_records_delta.
@@ -550,6 +588,90 @@ def fill_records_delta(rec_pos, rec_val, U, rchunk=4096):
         0, rpad // rchunk, chunk, jnp.zeros((N, UR, 128), jnp.int32))
     out = jnp.cumsum(delta.reshape(N, UR * 128), axis=1) & 0x3FFFFF
     return out[:, :U]
+
+
+def scatter_add_matmul(pos, val, U, nbits=16, rchunk=4096):
+    """out[n, j] = sum over records i of val_i where pos_i == j.
+
+    Direct one-hot matmul scatter-add on the MXU (no ordering
+    requirement on ``pos``; entries outside [0, U) are dropped).  Exact:
+    ceil(nbits/8) 8-bit bf16 byte planes with f32 accumulation — per
+    chunk each plane sums <= rchunk * 255 < 2^24.  For records with
+    DISTINCT positions (bitstream fields, byte slots) the sum is the
+    value itself, and disjoint-bit OR combining is exactly ADD.
+    Values must be in [0, 2^nbits); cost is MAC-bound at
+    planes * N * R * U MACs plus the R x U/128 one-hot traffic.
+    """
+    N, R = pos.shape
+    real = (pos >= 0) & (pos < U)
+    nplanes = min(4, -(-nbits // 8))
+    UR = -(-U // 128)
+    rchunk = min(rchunk, max(128, ((1 << 26) // max(1, N * UR)) // 128 * 128))
+    prow = jnp.where(real, pos >> 7, UR)
+    plane = jnp.where(real, pos & 127, 0)
+    v = jnp.where(real, val, 0)
+    iota_ur = jnp.arange(UR, dtype=jnp.int32)
+    iota_l = jnp.arange(128, dtype=jnp.int32)
+    rpad = -(-R // rchunk) * rchunk
+    prow = jnp.pad(prow, ((0, 0), (0, rpad - R)), constant_values=UR)
+    plane = jnp.pad(plane, ((0, 0), (0, rpad - R)))
+    v = jnp.pad(v, ((0, 0), (0, rpad - R)))
+    prow, plane, v = lax.optimization_barrier((prow, plane, v))
+
+    def chunk(c, acc):
+        c0 = c * rchunk
+        pr = lax.dynamic_slice(prow, (0, c0), (N, rchunk))
+        pl = lax.dynamic_slice(plane, (0, c0), (N, rchunk))
+        dv = lax.dynamic_slice(v, (0, c0), (N, rchunk))
+        ohr = (pr[:, :, None] == iota_ur[None, None, :]).astype(jnp.bfloat16)
+        ohl = pl[:, :, None] == iota_l[None, None, :]
+        rhs = jnp.concatenate(
+            [jnp.where(ohl, ((dv >> (8 * b)) & 0xFF)[:, :, None], 0
+                       ).astype(jnp.bfloat16) for b in range(nplanes)],
+            axis=2)
+        g = lax.dot_general(
+            ohr, rhs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        add = g[:, :, 0:128].astype(jnp.int32)
+        for b in range(1, nplanes):
+            add = add + (
+                g[:, :, 128 * b : 128 * (b + 1)].astype(jnp.int32) << (8 * b))
+        return acc + add
+
+    out = lax.fori_loop(
+        0, rpad // rchunk, chunk, jnp.zeros((N, UR, 128), jnp.int32))
+    return out.reshape(N, UR * 128)[:, :U]
+
+
+def histogram_matmul(sym, nbins, nchunk=8192):
+    """Per-row histogram: out[n, s] = count of sym[n, i] == s, for
+    s < nbins (out-of-range symbols — e.g. sentinels — are dropped).
+    One-hot matmul bincount; counts are f32-exact (< 2^24)."""
+    N, n = sym.shape
+    BR = -(-nbins // 128)
+    srow = jnp.where((sym >= 0) & (sym < nbins), sym >> 7, BR)
+    slane = sym & 127
+    iota_br = jnp.arange(BR, dtype=jnp.int32)
+    iota_l = jnp.arange(128, dtype=jnp.int32)
+    npad = -(-n // nchunk) * nchunk
+    srow = jnp.pad(srow, ((0, 0), (0, npad - n)), constant_values=BR)
+    slane = jnp.pad(slane, ((0, 0), (0, npad - n)))
+    srow, slane = lax.optimization_barrier((srow, slane))
+
+    def chunk(c, acc):
+        c0 = c * nchunk
+        sr = lax.dynamic_slice(srow, (0, c0), (N, nchunk))
+        sl = lax.dynamic_slice(slane, (0, c0), (N, nchunk))
+        ohr = (sr[:, :, None] == iota_br[None, None, :]).astype(jnp.bfloat16)
+        ohl = (sl[:, :, None] == iota_l[None, None, :]).astype(jnp.bfloat16)
+        g = lax.dot_general(
+            ohr, ohl, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return acc + g.astype(jnp.int32)
+
+    cnt = lax.fori_loop(
+        0, npad // nchunk, chunk, jnp.zeros((N, BR, 128), jnp.int32))
+    return cnt.reshape(N, BR * 128)[:, :nbins]
 
 
 def fill_gather_left(data_keys, data_vals, query_keys):
@@ -946,39 +1068,93 @@ def _far_rounds(out, U, min_hop):
     each gather runs 3 plane-dots instead of 4.
     """
     N = out.shape[0]
-    levels = [s for s in (4096,) if min_hop < s < U] + [U]
-    for S in levels:
-        nseg = U // S
-        NR = N * nseg
-        tagged = ((out & FAR_TAG) != 0).reshape(NR, S)
-        src = (out & (FAR_TAG - 1)).reshape(NR, S)  # ABSOLUTE source
-        # 18-bit state: resolved value (<=9 bits), or (1<<17)|abs_src
-        st = jnp.where(tagged, (1 << 17) | src,
-                       out.reshape(NR, S) & 0x1FF)
-        base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
-        max_rounds = max(1, (S - 1).bit_length()) + 3
-
-        def cond(state, _S=S, _base=base):
-            st, r = state
-            live = (st >> 17) == 1
-            srcp = st & 0x1FFFF
-            local = live & (srcp >= _base) & (srcp < _base + _S)
-            return jnp.any(local) & (r < max_rounds)
-
-        def round_(state, _S=S, _base=base):
-            st, r = state
-            live = (st >> 17) == 1
-            srcp = st & 0x1FFFF
-            chase = live & (srcp >= _base) & (srcp < _base + _S)
-            f = mxu_gather_rows(
-                st, jnp.where(chase, srcp - _base, 0), nbits=18)
-            return jnp.where(chase, f, st), r + 1
-
-        st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
-        live = (st >> 17) == 1
-        res = jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
-        out = res.reshape(N, U)
+    for S in [s for s in (4096,) if min_hop < s < U]:
+        out = _far_level_segmented(out, U, S)
+    if U > 8192:
+        out = _far_level_compact(out, U, U // 4)
+    out = _far_level_segmented(out, U, U)  # cleanup: rarely iterates
     return jnp.where((out & FAR_TAG) != 0, 0, out)
+
+
+def _far_level_segmented(out, U, S):
+    """Pointer-doubling rounds with rows cut into S-wide segments (the
+    gather table is the segment: MACs per round scale with S, not U).
+    Chains whose current source crosses a segment boundary stay tagged
+    for the next level."""
+    N = out.shape[0]
+    nseg = U // S
+    NR = N * nseg
+    tagged = ((out & FAR_TAG) != 0).reshape(NR, S)
+    src = (out & (FAR_TAG - 1)).reshape(NR, S)  # ABSOLUTE source
+    # 18-bit state: resolved value (<=9 bits), or (1<<17)|abs_src
+    st = jnp.where(tagged, (1 << 17) | src, out.reshape(NR, S) & 0x1FF)
+    base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
+    max_rounds = max(1, (S - 1).bit_length()) + 3
+
+    def cond(state):
+        st, r = state
+        live = (st >> 17) == 1
+        srcp = st & 0x1FFFF
+        local = live & (srcp >= base) & (srcp < base + S)
+        return jnp.any(local) & (r < max_rounds)
+
+    def round_(state):
+        st, r = state
+        live = (st >> 17) == 1
+        srcp = st & 0x1FFFF
+        chase = live & (srcp >= base) & (srcp < base + S)
+        f = mxu_gather_rows(
+            st, jnp.where(chase, srcp - base, 0), nbits=18)
+        return jnp.where(chase, f, st), r + 1
+
+    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+    live = (st >> 17) == 1
+    res = jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
+    return res.reshape(N, U)
+
+
+def _far_level_compact(out, U, W):
+    """Full-row pointer doubling over ONLY the tagged entries, compacted
+    to a [N, W] state (rounds cost Q=K=W instead of U each).  Tagged
+    positions beyond the first W per row, and chains that reach them,
+    keep their FAR_TAG for the cleanup level — rare on real data (the
+    segmented level has already resolved in-segment chains; the census
+    puts cross-segment tags well under U/4 per row)."""
+    N = out.shape[0]
+    tagged = (out & FAR_TAG) != 0
+    cidx = jnp.cumsum(tagged.astype(jnp.int32), axis=1) - 1
+    src = out & (FAR_TAG - 1)
+    # 19-bit table word: value (<=9 bits), (1<<17)|compact-pointer, or
+    # (1<<18) = give-up (chase target beyond the compaction window)
+    wtab = jnp.where(
+        tagged,
+        jnp.where(cidx < W, (1 << 17) | cidx, jnp.int32(1 << 18)),
+        out & 0x1FF)
+    jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
+    (tgt_c, pos_c), valid = compact_monotone(~tagged, (src, jpos), keep=W)
+    st = mxu_gather_rows(wtab, jnp.clip(tgt_c, 0, U - 1), nbits=19)
+    st = jnp.where(valid, st, jnp.int32(1 << 18))
+    max_rounds = max(1, (U - 1).bit_length()) + 3
+
+    def cond(state):
+        st, r = state
+        return jnp.any((st >> 17) == 1) & (r < max_rounds)
+
+    def round_(state):
+        st, r = state
+        chase = (st >> 17) == 1
+        f = mxu_gather_rows(
+            st, jnp.where(chase, st & 0xFFFF, 0), nbits=19)
+        return jnp.where(chase, f, st), r + 1
+
+    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+    resolved = valid & ((st >> 17) == 0)
+    vals = jnp.where(resolved, st & 0x1FF,
+                     FAR_TAG | jnp.clip(tgt_c, 0, U - 1))
+    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    (exp_vals,), placed = expand_monotone(
+        ~valid, (vals,), pos_c - iota_w, U)
+    return jnp.where(placed, exp_vals, out)
 
 
 def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
