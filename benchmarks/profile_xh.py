@@ -194,27 +194,26 @@ def main():
         print(f"# tags crossing {S}-segments: {int(cross.sum())}")
 
     # far sub-levels, timed + tag flow
-    from tpucomp.kernels.common import (
-        _far_level_segmented, _far_level_compact)
+    from tpucomp.kernels.common import _far_level_segmented
 
-    def lvl_seg(tg, s, _S=4096):
-        return _far_level_segmented(tg + s, U, _S)
+    def lvl_4k(tg, s):
+        return _far_level_segmented(tg + s, U, 4096, cap=8)
 
-    def lvl_cmp(tg, s):
-        return _far_level_compact(tg + s, U, U // 4)
+    def lvl_16k(tg, s):
+        return _far_level_segmented(tg + s, U, 16384, cap=6)
 
-    def lvl_clean(tg, s):
+    def lvl_final(tg, s):
         return _far_level_segmented(tg + s, U, U)
 
-    after4k = timeit("far:4k", lvl_seg, tagged0)
+    after4k = timeit("far:4k", lvl_4k, tagged0)
     t1 = np.asarray((after4k & FAR_TAG) != 0)
     print(f"# tags after 4k level: {int(t1.sum())} "
           f"(max/row {int(t1.sum(axis=1).max())})")
-    afterc = timeit("far:compact", lvl_cmp, after4k)
-    t2 = np.asarray((afterc & FAR_TAG) != 0)
-    print(f"# tags after compact level: {int(t2.sum())} "
+    after16k = timeit("far:16k", lvl_16k, after4k)
+    t2 = np.asarray((after16k & FAR_TAG) != 0)
+    print(f"# tags after 16k level: {int(t2.sum())} "
           f"(max/row {int(t2.sum(axis=1).max())})")
-    timeit("far:cleanup", lvl_clean, afterc)
+    timeit("far:final", lvl_final, after16k)
 
     # end-to-end for reference
     def e2e(pay, pl, ol, s):

@@ -374,7 +374,7 @@ def test_expand_monotone_roundtrip():
         assert (ev[n][~want_mask] == 0).all()
 
 
-def test_far_level_compact_property():
+def test_far_rounds_property():
     from tpucomp.kernels.common import FAR_TAG, _far_rounds
 
     # random valid chain structure: each position is a literal or a

@@ -721,7 +721,7 @@ def gather_rows_slabbed(data, idx, slab=8):
     return out[:N]
 
 
-def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
+def mxu_gather_rows(data, idx, qchunk=1024, nbits=32, int8=False):
     """Exact per-row gather data[n, idx[n, j]] via one-hot matmuls.
 
     TPU has no vector gather; sorts emulate it at ~0.6 Gcells/s, but the
@@ -739,6 +739,12 @@ def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
     Out-of-range idx reads 0 (clipped one-hot misses).  int32 in/out.
     ``nbits``: value width bound — plane-dots above ceil(nbits/8) are
     skipped (cost is MAC-bound at planes * N*Q*K MACs).
+    ``int8``: run the plane-dots in s8 x s8 -> s32 (2x MXU rate on v5e,
+    half the one-hot traffic).  Exactness via a signed offset: planes
+    store byte-128 in [-128, 127]; a gather's one-hot has EXACTLY one
+    hit per in-range query, so byte = dot + 128 * hit (hit from a free
+    ones-plane dot) — callers whose queries may be out of range still
+    read 0 because hit = 0 there.
     """
     N, K = data.shape
     Q = idx.shape[1]
@@ -749,8 +755,16 @@ def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
     # 8-bit mantissa; one-hot rows contribute a single term; f32
     # accumulation), and bf16 runs the MXU at full rate with half the
     # one-hot HBM traffic of f32
-    planes = [(lax.shift_right_logical(d3, 8 * b) & 0xFF)
-              .astype(jnp.bfloat16) for b in range(nplanes)]
+    if int8:
+        planes = [((lax.shift_right_logical(d3, 8 * b) & 0xFF) - 128)
+                  .astype(jnp.int8) for b in range(nplanes)]
+        planes.append(jnp.ones(d3.shape, jnp.int8))  # hit-count plane
+        ohdt, acdt = jnp.int8, jnp.int32
+    else:
+        planes = [(lax.shift_right_logical(d3, 8 * b) & 0xFF)
+                  .astype(jnp.bfloat16) for b in range(nplanes)]
+        ohdt, acdt = jnp.bfloat16, jnp.float32
+    pstack = jnp.concatenate(planes, axis=2)  # [N, R, 128*np(+1)]
     iota_r = jnp.arange(R, dtype=jnp.int32)
     iota_l = jnp.arange(128, dtype=jnp.int32)
     qpad = -(-Q // qchunk) * qchunk
@@ -761,15 +775,25 @@ def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
         ic = lax.dynamic_slice(ip, (0, qi * qchunk), (N, qchunk))
         row = ic >> 7
         lane = ic & 127
-        oh = (row[:, :, None] == iota_r[None, None, :]).astype(jnp.bfloat16)
+        oh = (row[:, :, None] == iota_r[None, None, :]).astype(ohdt)
         ohl = lane[:, :, None] == iota_l[None, None, :]
+        g = lax.dot_general(
+            oh, pstack, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acdt)  # [N, qchunk, 128*np(+1)]
         v = jnp.zeros((N, qchunk), jnp.int32)
-        for b, plane in enumerate(planes):
-            g = lax.dot_general(
-                oh, plane, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            byte = jnp.sum(jnp.where(ohl, g, 0.0), axis=2).astype(jnp.int32)
-            v = v | (byte << (8 * b))
+        if int8:
+            hit = jnp.sum(jnp.where(
+                ohl, g[:, :, 128 * nplanes:], 0), axis=2)
+            for b in range(nplanes):
+                byte = jnp.sum(jnp.where(
+                    ohl, g[:, :, 128 * b : 128 * (b + 1)], 0), axis=2)
+                v = v | ((byte + 128 * hit) << (8 * b))
+        else:
+            for b in range(nplanes):
+                byte = jnp.sum(jnp.where(
+                    ohl, g[:, :, 128 * b : 128 * (b + 1)], 0.0),
+                    axis=2).astype(jnp.int32)
+                v = v | (byte << (8 * b))
         return lax.dynamic_update_slice(acc, v, (0, qi * qchunk))
 
     out = lax.fori_loop(
@@ -1068,19 +1092,19 @@ def _far_rounds(out, U, min_hop):
     each gather runs 3 plane-dots instead of 4.
     """
     N = out.shape[0]
-    for S in [s for s in (4096,) if min_hop < s < U]:
-        out = _far_level_segmented(out, U, S)
-    if U > 8192:
-        out = _far_level_compact(out, U, U // 4)
-    out = _far_level_segmented(out, U, U)  # cleanup: rarely iterates
+    for S, cap in [(s, c) for s, c in ((4096, 8),) if min_hop < s < U]:
+        out = _far_level_segmented(out, U, S, cap=cap)
+    out = _far_level_segmented(out, U, U)  # final: runs to completion
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
-def _far_level_segmented(out, U, S):
+def _far_level_segmented(out, U, S, cap=None):
     """Pointer-doubling rounds with rows cut into S-wide segments (the
     gather table is the segment: MACs per round scale with S, not U).
     Chains whose current source crosses a segment boundary stay tagged
-    for the next level."""
+    for the next level.  ``cap`` bounds the rounds on non-final levels:
+    deeper in-segment chains simply escalate (correctness unaffected),
+    which beats paying diminishing-return rounds here."""
     N = out.shape[0]
     nseg = U // S
     NR = N * nseg
@@ -1089,7 +1113,7 @@ def _far_level_segmented(out, U, S):
     # 18-bit state: resolved value (<=9 bits), or (1<<17)|abs_src
     st = jnp.where(tagged, (1 << 17) | src, out.reshape(NR, S) & 0x1FF)
     base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
-    max_rounds = max(1, (S - 1).bit_length()) + 3
+    max_rounds = cap or (max(1, (S - 1).bit_length()) + 3)
 
     def cond(state):
         st, r = state
@@ -1103,6 +1127,8 @@ def _far_level_segmented(out, U, S):
         live = (st >> 17) == 1
         srcp = st & 0x1FFFF
         chase = live & (srcp >= base) & (srcp < base + S)
+        # bf16 planes: s8 dots measured 6x SLOWER on the dev chip (XLA
+        # does not lower them to the MXU there) despite the nominal 2x
         f = mxu_gather_rows(
             st, jnp.where(chase, srcp - base, 0), nbits=18)
         return jnp.where(chase, f, st), r + 1
@@ -1111,50 +1137,6 @@ def _far_level_segmented(out, U, S):
     live = (st >> 17) == 1
     res = jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
     return res.reshape(N, U)
-
-
-def _far_level_compact(out, U, W):
-    """Full-row pointer doubling over ONLY the tagged entries, compacted
-    to a [N, W] state (rounds cost Q=K=W instead of U each).  Tagged
-    positions beyond the first W per row, and chains that reach them,
-    keep their FAR_TAG for the cleanup level — rare on real data (the
-    segmented level has already resolved in-segment chains; the census
-    puts cross-segment tags well under U/4 per row)."""
-    N = out.shape[0]
-    tagged = (out & FAR_TAG) != 0
-    cidx = jnp.cumsum(tagged.astype(jnp.int32), axis=1) - 1
-    src = out & (FAR_TAG - 1)
-    # 19-bit table word: value (<=9 bits), (1<<17)|compact-pointer, or
-    # (1<<18) = give-up (chase target beyond the compaction window)
-    wtab = jnp.where(
-        tagged,
-        jnp.where(cidx < W, (1 << 17) | cidx, jnp.int32(1 << 18)),
-        out & 0x1FF)
-    jpos = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    (tgt_c, pos_c), valid = compact_monotone(~tagged, (src, jpos), keep=W)
-    st = mxu_gather_rows(wtab, jnp.clip(tgt_c, 0, U - 1), nbits=19)
-    st = jnp.where(valid, st, jnp.int32(1 << 18))
-    max_rounds = max(1, (U - 1).bit_length()) + 3
-
-    def cond(state):
-        st, r = state
-        return jnp.any((st >> 17) == 1) & (r < max_rounds)
-
-    def round_(state):
-        st, r = state
-        chase = (st >> 17) == 1
-        f = mxu_gather_rows(
-            st, jnp.where(chase, st & 0xFFFF, 0), nbits=19)
-        return jnp.where(chase, f, st), r + 1
-
-    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
-    resolved = valid & ((st >> 17) == 0)
-    vals = jnp.where(resolved, st & 0x1FF,
-                     FAR_TAG | jnp.clip(tgt_c, 0, U - 1))
-    iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
-    (exp_vals,), placed = expand_monotone(
-        ~valid, (vals,), pos_c - iota_w, U)
-    return jnp.where(placed, exp_vals, out)
 
 
 def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
