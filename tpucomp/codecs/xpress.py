@@ -39,17 +39,15 @@ from jax import lax
 from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
-    capped_matchlen,
     multi_matchlens,
-    fill_gather,
     fill_records_delta,
-    fill_gather_left,
     greedy_commit,
     hash_candidates,
     le_words,
     resolve_copies,
     resolve_copies_wide,
     run_matchlens,
+    scatter_add_matmul,
 )
 
 MIN_MATCH = 3
@@ -363,120 +361,91 @@ def _encode_impl(units, ulen, U):
     t_after = jnp.cumsum(committed.astype(jnp.int32), axis=1)
     T_total = t_after[:, -1]
 
-    # ---- token-major views: ONE multi-value sort fill ----
-    tq = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
-    tok_exists = tq < T_total[:, None]
-    iscp_i, len_tm, disp_tm, lit_tm, dbefore_tm, opens_i = fill_gather_left(
-        t_after,
-        (
-            (committed & is_match).astype(jnp.int32),
-            best_len,
-            best_disp,
-            units,
-            data_before,
-            opens_pm.astype(jnp.int32),
-        ),
-        tq + 1,
-    )
-    iscp_tm = (iscp_i == 1) & tok_exists
-    opens_tm = (opens_i == 1) & tok_exists
-    L_tm = len_tm - MIN_MATCH
-    grp_tm = tq >> 5
-    off_tm = jnp.where(
-        tok_exists, 4 * (grp_tm + 1) + dbefore_tm, jnp.int32(1 << 28)
-    )
-    extra_tm, nibuser_tm, rem_tm, big_tm = _match_extra_sizes(L_tm, opens_tm)
-    sz_tm = jnp.where(iscp_tm, 2 + extra_tm, 1)
-    tokv_tm = jnp.left_shift(disp_tm - 1, 3) | jnp.minimum(L_tm, 7)
-    nibval_tm = jnp.minimum(rem_tm, 15)
-    nibuser_tm = nibuser_tm & iscp_tm
+    # ---- byte assembly: the stream is a partition (each payload byte
+    # written exactly once), so the layout is position-major MXU
+    # scatter-adds — no token-major fills.  Committed position p is
+    # token t = t_after[p]-1 in flag group t>>5; its first byte sits at
+    # 4*(t>>5 + 1) + data_before[p] (a 4-byte flag word per started
+    # group precedes the group's data bytes).
+    t_idx = t_after - 1
+    grp_p = t_idx >> 5
+    off_p = 4 * (grp_p + 1) + data_before
+    L_pmv = L_pm
+    tokv = jnp.left_shift(best_disp - 1, 3) | jnp.minimum(L_pmv, 7)
+    _, _, rem_p, big_p = _match_extra_sizes(L_pmv, opens_pm)
+    nibval = jnp.minimum(rem_p, 15)
+    b0 = jnp.where(iscp_pm, tokv & 0xFF, units)
 
-    # nibble pairing: opener's byte carries the NEXT nibble-user's value in
-    # its high nibble.  nu_after[t] = # nibble users among tokens <= t;
-    # partner of opener t = first token with nu_after == nu_after[t] + 1.
-    nu_after = jnp.cumsum(nibuser_tm.astype(jnp.int32), axis=1)
-    partner_nib, partner_t = fill_gather_left(
-        nu_after, (nibval_tm, tq), nu_after + 1
-    )
-    partner_exists = (partner_t > tq) & (partner_t < T_total[:, None])
-    nib_byte_tm = nibval_tm | jnp.where(partner_exists, partner_nib << 4, 0)
+    # nibble pairing in nibble-index space (k = nu_cum-1 per user):
+    # openers (even k) deposit their low nibble and their nib byte's
+    # position; partners (odd k) deposit their nibble at k-1's high
+    # half.  Everything combines elementwise — no gathers.
+    kidx = nu_cum - 1
+    is_open = nib_user & opens_pm
+    is_part = nib_user & ~opens_pm
+    mlow = scatter_add_matmul(
+        jnp.where(is_open, kidx, -1), nibval, n, nbits=4)
+    mhigh = scatter_add_matmul(
+        jnp.where(is_part, kidx - 1, -1), nibval, n, nbits=4)
+    # opener's nib byte sits at its own off+2: deposit off+3 (>=1 so a
+    # real position survives the 0=absent convention)
+    mpos1 = scatter_add_matmul(
+        jnp.where(is_open, kidx, -1), off_p + 3, n, nbits=18)
+    nibbyte_m = mlow | (mhigh << 4)
 
-    # ---- group flag words (contiguous token groups: pure reshape) ----
+    # ---- group flag words, assembled in group-index space ----
     NG = n // 32
     gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
-    bits_g = iscp_tm.astype(jnp.int32).reshape(N, NG, 32)
-    exists_g = tok_exists.astype(jnp.int32).reshape(N, NG, 32)
-    fv = jnp.zeros((N, NG), jnp.int32)
-    for k in range(32):
-        # padding bits (absent tokens) are 1s per the encoder convention
-        bitk = jnp.where(exists_g[:, :, k] == 1, bits_g[:, :, k], 1)
-        fv = fv | jnp.left_shift(bitk, 31 - k)
-    fpos = off_tm.reshape(N, NG, 32)[:, :, 0] - 4
-    grp_exists = gq * 32 < T_total[:, None]
-    fpos = jnp.where(grp_exists, fpos, jnp.int32(1 << 28))
+    fbits = scatter_add_matmul(
+        jnp.where(iscp_pm, grp_p, -1),
+        jnp.left_shift(1, 31 - (t_idx & 31)), NG, nbits=32)
+    ngroups = (T_total + 31) >> 5
+    grp_exists = gq < ngroups[:, None]
+    # padding bits (absent tokens of the last group) are 1s per the
+    # encoder convention: tokens k >= cnt_g occupy stored bits 31-k,
+    # i.e. the LOW (32 - cnt_g) bits
+    cnt_g = jnp.clip(T_total[:, None] - gq * 32, 0, 32)
+    pad_bits = jnp.where(
+        cnt_g < 32, jnp.left_shift(1, 32 - cnt_g) - 1, 0)
+    fv = fbits | pad_bits
+    fpos1 = scatter_add_matmul(
+        jnp.where(committed & ((t_idx & 31) == 0), grp_p, -1),
+        off_p - 3, NG, nbits=18)  # = flag-word position + 1
 
-    # ---- payload byte assembly: two multi-value sort fills ----
+    # ---- escape bytes after the 2-byte token:
+    #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]
+    esc0 = off_p + 2 + opens_pm.astype(jnp.int32)
+    has_esc = iscp_pm & (rem_p >= 15)
+    esc_bv = jnp.where(big_p, 255, jnp.maximum(rem_p - 15, 0))
+    u16v = jnp.where(L_pmv < 0x10000, L_pmv, 0)
+    has_u32 = big_p & (L_pmv >= 0x10000)
+
     MAXP = max_payload(n)
     bq = jnp.broadcast_to(jnp.arange(MAXP, dtype=jnp.int32)[None, :], (N, MAXP))
-    fpos_b, fv_b = fill_gather(fpos, (fpos, fv), bq)
-    in_flag = bq - fpos_b < 4
-    flag_byte = (fv_b >> ((bq - fpos_b) * 8)) & 0xFF  # LE storage
+    pos_sets = [
+        jnp.where(committed, off_p, -1),
+        jnp.where(iscp_pm, off_p + 1, -1),
+        jnp.where(mpos1 > 0, mpos1 - 1, -1),  # nibble bytes (m-space)
+        jnp.where(has_esc, esc0, -1),
+        jnp.where(big_p, esc0 + 1, -1),
+        jnp.where(big_p, esc0 + 2, -1),
+    ] + [jnp.where(has_u32, esc0 + 3 + k, -1) for k in range(4)]
+    val_sets = [
+        b0,
+        tokv >> 8,
+        nibbyte_m,
+        esc_bv,
+        u16v & 0xFF,
+        u16v >> 8,
+    ] + [(L_pmv >> (8 * k)) & 0xFF for k in range(4)]
+    # flag words: 4 LE bytes each, from group space
+    for k in range(4):
+        pos_sets.append(jnp.where(grp_exists, fpos1 - 1 + k, -1))
+        val_sets.append((fv >> (8 * k)) & 0xFF)
+    val = scatter_add_matmul(
+        jnp.concatenate(pos_sets, axis=1),
+        jnp.concatenate(val_sets, axis=1), MAXP, nbits=8)
 
-    (off_b, iscp_i_b, tokv_b, lit_b, opens_i_b, nibbyte_b, rem_b,
-     big_i_b, L_b) = fill_gather(
-        off_tm,
-        (
-            off_tm,
-            iscp_tm.astype(jnp.int32),
-            tokv_tm,
-            lit_tm,
-            opens_tm.astype(jnp.int32),
-            nib_byte_tm,
-            rem_tm,
-            big_tm.astype(jnp.int32),
-            L_tm,
-        ),
-        bq,
-    )
-    delta = bq - off_b
-    iscp_b = iscp_i_b == 1
-    opens_b = opens_i_b == 1
-    big_b = big_i_b == 1
-
-    # escape byte layout after the 2-byte token:
-    #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]
-    esc0 = 2 + opens_b.astype(jnp.int32)
-    esc_bv = jnp.where(big_b, 255, jnp.maximum(rem_b - 15, 0))
-    u16v = jnp.where(L_b < 0x10000, L_b, 0)
-    u32v = L_b
-    val = jnp.where(
-        delta == 0,
-        jnp.where(iscp_b, tokv_b & 0xFF, lit_b),
-        jnp.where(
-            delta == 1,
-            tokv_b >> 8,
-            jnp.where(
-                opens_b & (delta == 2),
-                nibbyte_b,
-                jnp.where(
-                    delta == esc0,
-                    esc_bv,
-                    jnp.where(
-                        delta == esc0 + 1,
-                        u16v & 0xFF,
-                        jnp.where(
-                            delta == esc0 + 2,
-                            u16v >> 8,
-                            (u32v >> ((delta - esc0 - 3) * 8)) & 0xFF,
-                        ),
-                    ),
-                ),
-            ),
-        ),
-    )
-    val = jnp.where(in_flag, flag_byte, val)
-
-    ngroups = (T_total + 31) >> 5
     plen = jnp.where(T_total > 0, 4 * ngroups + data_total, 0)
     payload = jnp.where(bq < plen[:, None], val, 0)
     return payload, plen

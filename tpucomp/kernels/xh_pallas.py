@@ -192,7 +192,19 @@ def _build_kernel(U, SS, R3, SL):
                 # 2) fresh symbol
                 do_sym = (work * _mk(pend == _P_NONE) * _mk(bitcount >= 16)
                           * _mk(p < olen))
-                sym, slen, found = decode_symbol(bitbuf)
+                if j >= 2:
+                    # late substeps fire only on short-code bursts; skip
+                    # the level-find + rank->symbol scan (the dominant
+                    # per-step cost) when NO lane in the tile can decode
+                    sym, slen, found = lax.cond(
+                        jnp.any(do_sym != 0),
+                        lambda bb: decode_symbol(bb),
+                        lambda bb: (jnp.zeros((SL, 128), jnp.int32),
+                                    jnp.zeros((SL, 128), jnp.int32),
+                                    jnp.zeros((SL, 128), jnp.int32)),
+                        bitbuf)
+                else:
+                    sym, slen, found = decode_symbol(bitbuf)
                 do_sym = do_sym * found
                 bitbuf = _sel(do_sym, bitbuf << slen, bitbuf)
                 bitcount = bitcount - do_sym * slen
