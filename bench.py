@@ -9,7 +9,7 @@ Methodology: the dev chip is reached through a network tunnel whose
 runtime elides repeated identical dispatches and has ~35 ms dispatch RTT,
 so reps are chained INSIDE one jitted program (lax.fori_loop whose carry
 perturbs the next iteration's inputs by a zero-valued, data-dependent
-salt).  One dispatch + one sync measures REPS true device executions.
+salt).  One dispatch + one sync measures the reps' true device executions.
 Correctness is gated before timing (full round-trip against the input).
 """
 
@@ -21,37 +21,41 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-CORPUS_MB = 8
+CORPUS_MB = 32  # LZNT1: 8192 chunks fill the parse lanes at N=2048
+XP_CORPUS_MB = 8  # plain-Xpress sub-bench (BASELINE config 2)
 XH_CORPUS_MB = 64  # >=1024 blocks: the parse kernel's lanes fill at
 # SL=8 only when the majority bucket holds ~1024 blocks; per-step cost
 # is identical at [1,128] and [8,128] tiles, so bigger batches are free
 XH_ENC_BLOCKS = 256  # timed-encode slice (encode is the slower path)
-REPS = 16
 BASELINE_GBPS = 1.0
 
 
-def chained(fn, args, reps=REPS):
-    """Build+run fn chained `reps` times in one dispatch; return s/rep.
+def chained(fn, args, reps=4):
+    """Build+run fn chained `reps` times in ONE dispatch; return s/rep.
 
-    The iteration salt is ``min(outs) * zero`` where ``zero`` is a
-    RUNTIME INPUT (value 0): with a literal ``* 0`` XLA folds the salt
-    to a constant, finds the body loop-invariant, hoists it, and the
-    "chained" loop times ONE execution as if it were ``reps`` (measured
-    2026-08-19: foldable-salt totals are flat in reps; opaque-salt
-    totals scale linearly).  Every number this file ever produced with
-    the foldable form was inflated by up to the rep count.
+    Two traps this form dodges (both measured 2026-08-19):
+    * the iteration salt is ``sum(min(leaf))*zero`` with ``zero`` a
+      RUNTIME INPUT over EVERY output leaf — a foldable or narrower
+      salt lets XLA hoist the body (timing 1 execution as reps) or
+      dead-code-eliminate sibling outputs;
+    * the reps are PYTHON-UNROLLED inside the jit, not a lax.fori loop —
+      fori-wrapping large programs triggers pathological (hour+) remote
+      compiles through the tunnel, while the unrolled graph compiles in
+      ~reps x the body time.
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     @jax.jit
     def run(zero, *a):
-        def body(i, s):
+        s = jnp.int32(0)
+        for _ in range(reps):
             outs = fn(*a, s)
-            return jnp.min(outs) * zero
-
-        return lax.fori_loop(0, reps, body, jnp.int32(0))
+            acc = zero
+            for leaf in jax.tree_util.tree_leaves(outs):
+                acc = acc + jnp.min(leaf).astype(jnp.int32)
+            s = acc * zero
+        return s
 
     z = jnp.int32(0)
     r = run(z, *args)
@@ -119,7 +123,7 @@ def main():
         ).astype(np.int32)
 
         N = None
-        for cand in (512, 256):
+        for cand in (2048, 1024, 512):
             try:
                 z = jnp.zeros((cand, lz.CHUNK), jnp.int32)
                 zl = jnp.full((cand,), lz.CHUNK, jnp.int32)
@@ -285,13 +289,15 @@ def main():
         from tpucomp.util import pallas_mode
 
         XU = 65536
-        xp_units = [data[i : i + XU] for i in range(0, nbytes, XU)]
+        xp_data = data[: XP_CORPUS_MB << 20]
+        xp_nbytes = len(xp_data)
+        xp_units = [xp_data[i : i + XU] for i in range(0, xp_nbytes, XU)]
         xp_streams = xp_mod.compress_units(xp_units, unit_size=XU)
         xp_out = xp_mod.decompress_units(
             xp_streams, [len(u) for u in xp_units], unit_size=XU
         )
-        assert b"".join(xp_out) == data, "xpress roundtrip mismatch"
-        extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / nbytes, 4)
+        assert b"".join(xp_out) == xp_data, "xpress roundtrip mismatch"
+        extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / xp_nbytes, 4)
         NX = max(8, len(xp_units))
         xb = np.zeros((NX, XU), np.int32)
         xbl = np.zeros(NX, np.int32)
@@ -303,7 +309,7 @@ def main():
         t_enc_xp = host_chained(
             lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1], (d_xb, d_xbl), reps=4
         )
-        extras["xpress_encode_GBps"] = round(nbytes / t_enc_xp / 1e9, 4)
+        extras["xpress_encode_GBps"] = round(xp_nbytes / t_enc_xp / 1e9, 4)
         # production path buckets payload width by the batch's real max
         PX = min(
             xp_mod.max_payload(XU),
@@ -325,7 +331,7 @@ def main():
             (d_xpp, d_xpl, d_xpo),
             reps=4,
         )
-        extras["xpress_decode_GBps"] = round(nbytes / t_dec_xp / 1e9, 4)
+        extras["xpress_decode_GBps"] = round(xp_nbytes / t_dec_xp / 1e9, 4)
 
     # Each stage runs guarded: a compile-helper failure on one format
     # must not cost the round its bench line (the driver records exactly

@@ -97,3 +97,22 @@ class TestDecodeBitCompat:
     def test_malformed_raises(self):
         with pytest.raises(Exception):
             t_xpress.decompress_units([b"\x00\x00"], [100], unit_size=U)
+
+
+def test_xpress_64k_units_long_matches(rng):
+    """64 KiB units with long matches exercise the u16/u32 length-escape
+    byte records; uncommitted positions inside long matches must not
+    scatter phantom escape bytes (regression: ungated big_p)."""
+    from tpucomp.codecs import xpress as xp
+    from tpucomp.oracle import xpress as oxp
+
+    base = bytes(rng.randrange(256) for _ in range(3000))
+    blob = (base * 30)[:65536]  # long periodic matches, L >= 255+22
+    blob2 = bytes(rng.randrange(256) for _ in range(50000)) + b"A" * 15536
+    units = [blob, blob2]
+    streams = xp.compress_units(units, unit_size=65536)
+    for s, u in zip(streams, units):
+        assert oxp.decompress(s, len(u)) == u
+    out = xp.decompress_units(streams, [len(u) for u in units],
+                              unit_size=65536)
+    assert out == units

@@ -41,6 +41,7 @@ from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     multi_matchlens,
     fill_records_delta,
+    fill_records_delta2,
     greedy_commit,
     hash_candidates,
     le_words,
@@ -262,9 +263,15 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
     """Shared decode tail: monotone token records -> output bytes."""
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_records_delta(rec_pos, rec_val, U)
+    vpack, tokpos = fill_records_delta2(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
+    # periodic fold (see xpress_huff._records_to_output): overlapping
+    # matches copy their own first period — collapses deep far chains
+    rel = j - tokpos
+    dispc = jnp.maximum(disp_j, 1)
+    disp_j = jnp.where(
+        is_copy_j & (rel >= dispc), rel - lax.rem(rel, dispc), disp_j)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
     if mode is not None and U % 128 == 0:
         from ..kernels import resolve_pallas
@@ -415,10 +422,14 @@ def _encode_impl(units, ulen, U):
     # ---- escape bytes after the 2-byte token:
     #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]
     esc0 = off_p + 2 + opens_pm.astype(jnp.int32)
+    # gate EVERY byte-record predicate on the committed parse:
+    # _match_extra_sizes reports big/rem for candidate lengths at ALL
+    # positions, committed or not
     has_esc = iscp_pm & (rem_p >= 15)
+    has_big = iscp_pm & big_p
     esc_bv = jnp.where(big_p, 255, jnp.maximum(rem_p - 15, 0))
     u16v = jnp.where(L_pmv < 0x10000, L_pmv, 0)
-    has_u32 = big_p & (L_pmv >= 0x10000)
+    has_u32 = has_big & (L_pmv >= 0x10000)
 
     MAXP = max_payload(n)
     bq = jnp.broadcast_to(jnp.arange(MAXP, dtype=jnp.int32)[None, :], (N, MAXP))
@@ -427,8 +438,8 @@ def _encode_impl(units, ulen, U):
         jnp.where(iscp_pm, off_p + 1, -1),
         jnp.where(mpos1 > 0, mpos1 - 1, -1),  # nibble bytes (m-space)
         jnp.where(has_esc, esc0, -1),
-        jnp.where(big_p, esc0 + 1, -1),
-        jnp.where(big_p, esc0 + 2, -1),
+        jnp.where(has_big, esc0 + 1, -1),
+        jnp.where(has_big, esc0 + 2, -1),
     ] + [jnp.where(has_u32, esc0 + 3 + k, -1) for k in range(4)]
     val_sets = [
         b0,

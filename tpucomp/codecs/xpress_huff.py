@@ -45,6 +45,7 @@ from ..kernels.common import (
     multi_matchlens,
     compact_chronological,
     fill_records_delta,
+    fill_records_delta2,
     greedy_commit,
     hash_candidates,
     histogram_matmul,
@@ -358,9 +359,18 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
         errk = errk | ovf
     err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack = fill_records_delta(rec_pos, rec_val, U)
+    vpack, tokpos = fill_records_delta2(rec_pos, rec_val, U)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
+    # periodic fold: byte k >= d into an OVERLAPPING match copies the
+    # match's own first period (src = tokpos + k mod d) instead of
+    # chasing a depth-k/d chain — one extra hop collapses the deep
+    # chains long periodic matches otherwise feed the far rounds
+    # ([MS-XCA] overlapping-copy semantics make both sources identical)
+    rel = j - tokpos
+    dispc = jnp.maximum(disp_j, 1)
+    disp_j = jnp.where(
+        is_copy_j & (rel >= dispc), rel - lax.rem(rel, dispc), disp_j)
     litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
     if mode is not None and U % 128 == 0:
         from ..kernels import resolve_pallas

@@ -551,43 +551,127 @@ def fill_records_delta(rec_pos, rec_val, U, rchunk=4096):
     dval = jnp.where(real, (rec_val - prev_v) & 0x3FFFFF, 0)
 
     UR = -(-U // 128)
-    # chunk the record axis so each one-hot intermediate stays ~128 MB
-    rchunk = min(rchunk, max(128, ((1 << 26) // max(1, N * UR)) // 128 * 128))
     prow = jnp.where(real, rec_pos >> 7, UR)  # UR = scatter miss
     plane = jnp.where(real, rec_pos & 127, 0)
+    delta = _scatter_planes(prow, plane, (dval & 0xFF, (dval >> 8) & 0xFF,
+                                          (dval >> 16) & 0xFF), UR)
+    out = jnp.cumsum(delta.reshape(N, UR * 128), axis=1) & 0x3FFFFF
+    return out[:, :U]
+
+
+def fill_records_delta2(rec_pos, rec_val, U):
+    """fill_records_delta that ALSO returns, per output byte, the
+    POSITION of its binding record (the token start — needed by the
+    periodic-fold in copy resolution).  The position fill rides the same
+    one-hot scatter as the value fill: positions < U < 2^16 need only
+    two extra byte planes (cumsum mod 2^16 reconstructs them exactly).
+    Returns (val_fill, pos_fill)."""
+    N, R = rec_pos.shape
+    real = (rec_pos >= 0) & (rec_pos < U)
+    rl = real.astype(jnp.int32)
+
+    def comb(a, b):
+        ha, va, pa = a
+        hb, vb, pb = b
+        return (ha | hb, vb + (1 - hb) * va, pb + (1 - hb) * pa)
+
+    _, incl_v, incl_p = lax.associative_scan(
+        comb, (rl, jnp.where(real, rec_val, 0),
+               jnp.where(real, rec_pos, 0)), axis=1)
+    z1 = jnp.zeros((N, 1), jnp.int32)
+    prev_v = jnp.concatenate([z1, incl_v[:, :-1]], axis=1)
+    prev_p = jnp.concatenate([z1, incl_p[:, :-1]], axis=1)
+    dval = jnp.where(real, (rec_val - prev_v) & 0x3FFFFF, 0)
+    dpos = jnp.where(real, (rec_pos - prev_p) & 0xFFFF, 0)
+
+    UR = -(-U // 128)
+    prow = jnp.where(real, rec_pos >> 7, UR)
+    plane = jnp.where(real, rec_pos & 127, 0)
+    dv, dp = _scatter_planes(
+        prow, plane,
+        (dval & 0xFF, (dval >> 8) & 0xFF, (dval >> 16) & 0xFF,
+         dpos & 0xFF, (dpos >> 8) & 0xFF),
+        UR, groups=[3, 2])
+    vf = jnp.cumsum(dv.reshape(N, UR * 128), axis=1) & 0x3FFFFF
+    pf = jnp.cumsum(dp.reshape(N, UR * 128), axis=1) & 0xFFFF
+    return vf[:, :U], pf[:, :U]
+
+
+def _scatter_planes(prow, plane, byteplanes, UR, rchunk=None, groups=None):
+    """Shared MXU scatter core: sum byteplanes[b] at (prow, plane) into
+    int32 [N, UR, 128] (combined with << 8b shifts; int32 wrap is the
+    caller's concern).  prow == UR drops the record.  ``groups``
+    partitions the byteplanes into independently-combined outputs (a
+    tuple is returned then) — they share the one-hot operands and run
+    in ONE stacked dot.
+
+    Loop layout matters enormously: an OUTER row-slab loop keeps the
+    accumulator tile tiny so the INNER record-chunk loop (which bounds
+    the materialized one-hot operand to ~1 GB) does not re-stream a
+    full-batch accumulator per chunk — the earlier record-chunk-only
+    form paid ~0.5 GB of accumulator traffic per 128-record chunk and
+    ran 13x slower at 896-row batches.
+    """
+    N, R = prow.shape
+    nb = len(byteplanes)
+    if groups is None:
+        groups = [nb]
+    assert sum(groups) == nb
+    ngroups = len(groups)
     iota_ur = jnp.arange(UR, dtype=jnp.int32)
     iota_l = jnp.arange(128, dtype=jnp.int32)
+    # row slab: accumulator [slab, UR, 128] int32 <= ~16 MB
+    slab = max(8, min(N, (1 << 22) // max(1, UR * 128 * 4) // 8 * 8))
+    # record chunk: one-hot [slab, rchunk, UR] bf16 <= ~1 GB
+    if rchunk is None:
+        rchunk = max(512, ((1 << 29) // max(1, slab * UR)) // 512 * 512)
+    rchunk = min(rchunk, -(-R // 512) * 512)
     rpad = -(-R // rchunk) * rchunk
-    prow = jnp.pad(prow, ((0, 0), (0, rpad - R)), constant_values=UR)
-    plane = jnp.pad(plane, ((0, 0), (0, rpad - R)))
-    dval = jnp.pad(dval, ((0, 0), (0, rpad - R)))
-    ops = lax.optimization_barrier((prow, plane, dval))
-    prow, plane, dval = ops
+    npad = -(-N // slab) * slab
+    prow = jnp.pad(prow, ((0, npad - N), (0, rpad - R)), constant_values=UR)
+    plane = jnp.pad(plane, ((0, npad - N), (0, rpad - R)))
+    bps = tuple(jnp.pad(bp, ((0, npad - N), (0, rpad - R)))
+                for bp in byteplanes)
+    ops = lax.optimization_barrier((prow, plane) + bps)
+    prow, plane, bps = ops[0], ops[1], ops[2:]
+    nrc = rpad // rchunk
 
-    def chunk(c, delta):
-        c0 = c * rchunk
-        pr = lax.dynamic_slice(prow, (0, c0), (N, rchunk))
-        pl = lax.dynamic_slice(plane, (0, c0), (N, rchunk))
-        dv = lax.dynamic_slice(dval, (0, c0), (N, rchunk))
+    def row_slab(t, out):
+        n0 = (t // nrc) * slab
+        c0 = (t % nrc) * rchunk
+        pr = lax.dynamic_slice(prow, (n0, c0), (slab, rchunk))
+        pl = lax.dynamic_slice(plane, (n0, c0), (slab, rchunk))
         ohr = (pr[:, :, None] == iota_ur[None, None, :]).astype(jnp.bfloat16)
         ohl = pl[:, :, None] == iota_l[None, None, :]
         rhs = jnp.concatenate(
-            [jnp.where(ohl, ((dv >> (8 * b)) & 0xFF)[:, :, None], 0
-                       ).astype(jnp.bfloat16) for b in range(3)],
-            axis=2)  # [N, rc, 384]
+            [jnp.where(
+                ohl,
+                lax.dynamic_slice(bp, (n0, c0), (slab, rchunk))[:, :, None],
+                0).astype(jnp.bfloat16) for bp in bps],
+            axis=2)  # [slab, rchunk, 128*nb]
         g = lax.dot_general(
             ohr, rhs, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [N, UR, 384]
-        return delta + (
-            g[:, :, 0:128].astype(jnp.int32)
-            + (g[:, :, 128:256].astype(jnp.int32) << 8)
-            + (g[:, :, 256:384].astype(jnp.int32) << 16)
-        )
+            preferred_element_type=jnp.float32)  # [slab, UR, 128*nb]
+        news = []
+        b0 = 0
+        for gi, gn in enumerate(groups):
+            add = g[:, :, 128 * b0 : 128 * (b0 + 1)].astype(jnp.int32)
+            for b in range(1, gn):
+                add = add + (
+                    g[:, :, 128 * (b0 + b) : 128 * (b0 + b + 1)]
+                    .astype(jnp.int32) << (8 * b))
+            cur = lax.dynamic_slice(out[gi], (n0, 0, 0), (slab, UR, 128))
+            news.append(lax.dynamic_update_slice(
+                out[gi], cur + add, (n0, 0, 0)))
+            b0 += gn
+        return tuple(news)
 
-    delta = lax.fori_loop(
-        0, rpad // rchunk, chunk, jnp.zeros((N, UR, 128), jnp.int32))
-    out = jnp.cumsum(delta.reshape(N, UR * 128), axis=1) & 0x3FFFFF
-    return out[:, :U]
+    out = lax.fori_loop(
+        0, (npad // slab) * nrc, row_slab,
+        tuple(jnp.zeros((npad, UR, 128), jnp.int32)
+              for _ in range(ngroups)))
+    outs = tuple(o[:N] for o in out)
+    return outs if ngroups > 1 else outs[0]
 
 
 def scatter_add_matmul(pos, val, U, nbits=16, rchunk=4096):
@@ -606,40 +690,14 @@ def scatter_add_matmul(pos, val, U, nbits=16, rchunk=4096):
     real = (pos >= 0) & (pos < U)
     nplanes = min(4, -(-nbits // 8))
     UR = -(-U // 128)
-    rchunk = min(rchunk, max(128, ((1 << 26) // max(1, N * UR)) // 128 * 128))
     prow = jnp.where(real, pos >> 7, UR)
     plane = jnp.where(real, pos & 127, 0)
     v = jnp.where(real, val, 0)
-    iota_ur = jnp.arange(UR, dtype=jnp.int32)
-    iota_l = jnp.arange(128, dtype=jnp.int32)
-    rpad = -(-R // rchunk) * rchunk
-    prow = jnp.pad(prow, ((0, 0), (0, rpad - R)), constant_values=UR)
-    plane = jnp.pad(plane, ((0, 0), (0, rpad - R)))
-    v = jnp.pad(v, ((0, 0), (0, rpad - R)))
-    prow, plane, v = lax.optimization_barrier((prow, plane, v))
-
-    def chunk(c, acc):
-        c0 = c * rchunk
-        pr = lax.dynamic_slice(prow, (0, c0), (N, rchunk))
-        pl = lax.dynamic_slice(plane, (0, c0), (N, rchunk))
-        dv = lax.dynamic_slice(v, (0, c0), (N, rchunk))
-        ohr = (pr[:, :, None] == iota_ur[None, None, :]).astype(jnp.bfloat16)
-        ohl = pl[:, :, None] == iota_l[None, None, :]
-        rhs = jnp.concatenate(
-            [jnp.where(ohl, ((dv >> (8 * b)) & 0xFF)[:, :, None], 0
-                       ).astype(jnp.bfloat16) for b in range(nplanes)],
-            axis=2)
-        g = lax.dot_general(
-            ohr, rhs, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        add = g[:, :, 0:128].astype(jnp.int32)
-        for b in range(1, nplanes):
-            add = add + (
-                g[:, :, 128 * b : 128 * (b + 1)].astype(jnp.int32) << (8 * b))
-        return acc + add
-
-    out = lax.fori_loop(
-        0, rpad // rchunk, chunk, jnp.zeros((N, UR, 128), jnp.int32))
+    out = _scatter_planes(
+        prow, plane,
+        tuple(lax.shift_right_logical(v, 8 * b) & 0xFF
+              for b in range(nplanes)),
+        UR)
     return out.reshape(N, UR * 128)[:, :U]
 
 
@@ -721,50 +779,39 @@ def gather_rows_slabbed(data, idx, slab=8):
     return out[:N]
 
 
-def mxu_gather_rows(data, idx, qchunk=1024, nbits=32, int8=False):
+def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
     """Exact per-row gather data[n, idx[n, j]] via one-hot matmuls.
 
     TPU has no vector gather; sorts emulate it at ~0.6 Gcells/s, but the
     MXU evaluates gather-as-matmul at ~100 GMAC/ms: split the table into
     [R, 128] tiles, one-hot the row index (exactly one 1.0 per query),
     contract on the MXU, then select the lane with a 128-wide masked
-    reduce.  Exactness: values split into 14-bit halves, so every f32
-    product/sum is an integer <= 2^14 (one-hot rows have a single 1);
-    f32 is exact through 2^24.
+    reduce.  Exactness: 8-bit bf16 byte planes — every f32 product/sum
+    is an integer <= 255 (one-hot rows contribute a single term).
 
-    Cost ~K MACs/query: the right tool when K*Q per row is small enough
-    for the MXU (every decode-tail gather here); fill_gather's sorts win
-    only for giant K with few queries.
+    Cost ~K MACs/query per plane: the right tool when K*Q per row is
+    small enough for the MXU (every decode-tail gather here);
+    fill_gather's sorts win only for giant K with few queries.
 
     Out-of-range idx reads 0 (clipped one-hot misses).  int32 in/out.
     ``nbits``: value width bound — plane-dots above ceil(nbits/8) are
-    skipped (cost is MAC-bound at planes * N*Q*K MACs).
-    ``int8``: run the plane-dots in s8 x s8 -> s32 (2x MXU rate on v5e,
-    half the one-hot traffic).  Exactness via a signed offset: planes
-    store byte-128 in [-128, 127]; a gather's one-hot has EXACTLY one
-    hit per in-range query, so byte = dot + 128 * hit (hit from a free
-    ones-plane dot) — callers whose queries may be out of range still
-    read 0 because hit = 0 there.
+    skipped (cost is MAC-bound at planes * N*Q*K MACs).  PER-PLANE dots,
+    not one stacked dot: measured 3x faster at segment shapes (thin
+    contraction dims); s8 dots measured 6x slower than bf16 (XLA does
+    not put them on the MXU here) — both 2026-08-19.
     """
     N, K = data.shape
     Q = idx.shape[1]
     R = -(-K // 128)
     nplanes = min(4, -(-nbits // 8))
+    # bound the per-chunk dot output [N, qchunk, 128] f32 to ~1 GB: at
+    # segment-level far rounds N is thousands of rows and a fixed
+    # 1024-query chunk would allocate tens of GB (observed OOM)
+    qchunk = min(qchunk, max(
+        128, (1 << 30) // max(1, N * 128 * 4) // 128 * 128))
     d3 = jnp.pad(data, ((0, 0), (0, R * 128 - K))).reshape(N, R, 128)
-    # 8-bit planes in bf16: products/sums stay exact (<=255 fits the
-    # 8-bit mantissa; one-hot rows contribute a single term; f32
-    # accumulation), and bf16 runs the MXU at full rate with half the
-    # one-hot HBM traffic of f32
-    if int8:
-        planes = [((lax.shift_right_logical(d3, 8 * b) & 0xFF) - 128)
-                  .astype(jnp.int8) for b in range(nplanes)]
-        planes.append(jnp.ones(d3.shape, jnp.int8))  # hit-count plane
-        ohdt, acdt = jnp.int8, jnp.int32
-    else:
-        planes = [(lax.shift_right_logical(d3, 8 * b) & 0xFF)
-                  .astype(jnp.bfloat16) for b in range(nplanes)]
-        ohdt, acdt = jnp.bfloat16, jnp.float32
-    pstack = jnp.concatenate(planes, axis=2)  # [N, R, 128*np(+1)]
+    planes = [(lax.shift_right_logical(d3, 8 * b) & 0xFF)
+              .astype(jnp.bfloat16) for b in range(nplanes)]
     iota_r = jnp.arange(R, dtype=jnp.int32)
     iota_l = jnp.arange(128, dtype=jnp.int32)
     qpad = -(-Q // qchunk) * qchunk
@@ -775,25 +822,15 @@ def mxu_gather_rows(data, idx, qchunk=1024, nbits=32, int8=False):
         ic = lax.dynamic_slice(ip, (0, qi * qchunk), (N, qchunk))
         row = ic >> 7
         lane = ic & 127
-        oh = (row[:, :, None] == iota_r[None, None, :]).astype(ohdt)
+        oh = (row[:, :, None] == iota_r[None, None, :]).astype(jnp.bfloat16)
         ohl = lane[:, :, None] == iota_l[None, None, :]
-        g = lax.dot_general(
-            oh, pstack, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=acdt)  # [N, qchunk, 128*np(+1)]
         v = jnp.zeros((N, qchunk), jnp.int32)
-        if int8:
-            hit = jnp.sum(jnp.where(
-                ohl, g[:, :, 128 * nplanes:], 0), axis=2)
-            for b in range(nplanes):
-                byte = jnp.sum(jnp.where(
-                    ohl, g[:, :, 128 * b : 128 * (b + 1)], 0), axis=2)
-                v = v | ((byte + 128 * hit) << (8 * b))
-        else:
-            for b in range(nplanes):
-                byte = jnp.sum(jnp.where(
-                    ohl, g[:, :, 128 * b : 128 * (b + 1)], 0.0),
-                    axis=2).astype(jnp.int32)
-                v = v | (byte << (8 * b))
+        for b, plane in enumerate(planes):
+            g = lax.dot_general(
+                oh, plane, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            byte = jnp.sum(jnp.where(ohl, g, 0.0), axis=2).astype(jnp.int32)
+            v = v | (byte << (8 * b))
         return lax.dynamic_update_slice(acc, v, (0, qi * qchunk))
 
     out = lax.fori_loop(
