@@ -32,7 +32,7 @@ def main():
         canonical_from_lengths,
         rank_to_symbol_table,
     )
-    from tpucomp.kernels.common import fill_records_delta
+    from tpucomp.kernels.common import fill_records_delta2
     from tpucomp.util import pallas_mode
 
     data = silesia_like(corpus_mb << 20)
@@ -90,13 +90,20 @@ def main():
             rank_cap=rc, interpret=(mode == "interpret"))
 
     def stage_fill(rec_pos, rec_val, s):
-        return fill_records_delta(rec_pos + s, rec_val, U)
+        return fill_records_delta2(rec_pos + s, rec_val, U)
 
-    def stage_resolve(vpack, ol, s):
+    def stage_resolve(vt, ol, s):
+        vpack, tokpos = vt
+        from jax import lax as jlax
+
         j = jnp.arange(U, dtype=jnp.int32)[None, :]
         vpack = vpack + s
         is_copy_j = (vpack & xh._COPY_BIT) != 0
         disp_j = vpack & (xh._COPY_BIT - 1)
+        rel = j - tokpos
+        dispc = jnp.maximum(disp_j, 1)
+        disp_j = jnp.where(
+            is_copy_j & (rel >= dispc), rel - jlax.rem(rel, dispc), disp_j)
         litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
         if mode is not None and U % 128 == 0:
             from tpucomp.kernels import resolve_pallas
@@ -146,21 +153,31 @@ def main():
         "parse", stage_parse, d_pay, d_plen, d_olen, fc, br, lim, sym)
     print(f"# record slots/row: {rec_pos.shape[1]}  "
           f"nonempty: {int(np.asarray((rec_pos < (1 << 28)).sum(axis=1)).max())} max")
-    vpack = timeit("fill", stage_fill, rec_pos, rec_val)
-    timeit("resolve", stage_resolve, vpack, d_olen)
+    vt = timeit("fill", stage_fill, rec_pos, rec_val)
+    timeit("resolve", stage_resolve, vt, d_olen)
 
-    # ---- resolve sub-stages: near scan vs far rounds + tag census ----
+    # ---- resolve sub-stages: near scan vs far rounds + tag census
+    # (inputs are post-FOLD, matching the real path) ----
     from tpucomp.kernels.common import FAR_TAG, _far_rounds
     from tpucomp.kernels import resolve_pallas
 
-    def mkinputs(vpack):
+    def mkinputs(vt):
+        vpack, tokpos = vt
+        from jax import lax as jlax
+
+        j = jnp.arange(U, dtype=jnp.int32)[None, :]
         is_copy_j = (vpack & xh._COPY_BIT) != 0
         disp_j = vpack & (xh._COPY_BIT - 1)
+        rel = j - tokpos
+        dispc = jnp.maximum(disp_j, 1)
+        disp_j = jnp.where(
+            is_copy_j & (rel >= dispc), rel - jlax.rem(rel, dispc), disp_j)
         litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
         return is_copy_j, disp_j, litv
 
-    def stage_near(vpack, s):
-        ic, dj, lv = mkinputs(vpack + s)
+    def stage_near(vt, s):
+        vpack, tokpos = vt
+        ic, dj, lv = mkinputs((vpack + s, tokpos))
         N_, U_ = ic.shape
         S = resolve_pallas.SEG
         NR = N_ * (U_ // S)
@@ -177,7 +194,7 @@ def main():
         outk = resolve_pallas._resolve_call(S, SL, T, S, False)(base, v)
         return outk.transpose(1, 2, 0).reshape(NL * 128, S)[:NR].reshape(N_, U_)
 
-    tagged0 = timeit("near", stage_near, vpack)
+    tagged0 = timeit("near", stage_near, vt)
 
     def stage_far(tg, s):
         return _far_rounds(tg + s, U, resolve_pallas.SEG)

@@ -1129,9 +1129,16 @@ def _far_rounds(out, U, min_hop):
     each gather runs 3 plane-dots instead of 4.
     """
     N = out.shape[0]
-    for S, cap in [(s, c) for s, c in ((4096, 8),) if min_hop < s < U]:
+    # levels: 4 KiB always (16x cheaper rounds); 16 KiB only at batch
+    # scale, where it pays for itself by saving full-row rounds whose
+    # MACs grow with N*U*U (measured at 719 rows: +84 ms level, -200 ms
+    # of full rounds); final full-row level runs to completion
+    levels = [(4096, 8)]
+    if N >= 256:
+        levels.append((16384, 6))
+    for S, cap in [(s, c) for s, c in levels if min_hop < s < U]:
         out = _far_level_segmented(out, U, S, cap=cap)
-    out = _far_level_segmented(out, U, U)  # final: runs to completion
+    out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
