@@ -90,7 +90,10 @@ def main():
             rank_cap=rc, interpret=(mode == "interpret"))
 
     def stage_fill(rec_pos, rec_val, s):
-        return fill_records_delta2(rec_pos + s, rec_val, U)
+        keep = min(U, (8 * (P - 256)) // ss + 8)
+        keep = -(-keep // 128) * 128
+        vf, pf, _ = fill_records_delta2(rec_pos + s, rec_val, U, keep=keep)
+        return vf, pf
 
     def stage_resolve(vt, ol, s):
         vpack, tokpos = vt

@@ -309,7 +309,9 @@ def test_fill_records_delta_matches_fill_gather():
             rows_val.append(v)
         rp = jnp.asarray(np.stack(rows_pos).astype(np.int32))
         rv = jnp.asarray(np.stack(rows_val).astype(np.int32))
-        got = np.asarray(fill_records_delta(rp, rv, U))
+        got, ovf = fill_records_delta(rp, rv, U)
+        got = np.asarray(got)
+        assert not np.asarray(ovf).any()
         j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None], (N, U))
         want = np.asarray(fill_gather(rp, rv, j))
         assert (got == want).all(), trial
@@ -321,8 +323,22 @@ def test_fill_records_delta_duplicates():
     # duplicate positions: LATER record wins (carry-replicated streams)
     rp = jnp.asarray([[0, 3, 3, 3, 7, -1]])
     rv = jnp.asarray([[5, 10, 11, 12, 900, 0]])
-    out = np.asarray(fill_records_delta(rp, rv, 10))[0]
+    out = np.asarray(fill_records_delta(rp, rv, 10)[0])[0]
     assert list(out) == [5, 5, 5, 12, 12, 12, 12, 900, 900, 900]
+
+
+def test_fill_records_delta2_positions_and_overflow():
+    from tpucomp.kernels.common import fill_records_delta2
+
+    rp = jnp.asarray([[0, 2, 5, -1, -1, -1]])
+    rv = jnp.asarray([[7, 9, 11, 0, 0, 0]])
+    vf, pf, ovf = fill_records_delta2(rp, rv, 8)
+    assert list(np.asarray(vf)[0]) == [7, 7, 9, 9, 9, 11, 11, 11]
+    assert list(np.asarray(pf)[0]) == [0, 0, 2, 2, 2, 5, 5, 5]
+    assert not np.asarray(ovf).any()
+    # keep bound violated -> overflow flagged
+    _, _, ovf = fill_records_delta2(rp, rv, 8, keep=2)
+    assert np.asarray(ovf).all()
 
 
 def test_scatter_add_matmul():
@@ -398,4 +414,26 @@ def test_far_rounds_property():
             while v & FAR_TAG:
                 v = out[n, v & (FAR_TAG - 1)]
             want[n, j] = v
+    assert (got == want).all()
+
+
+def test_far_rounds_compacted_final_level():
+    from tpucomp.kernels.common import FAR_TAG, _far_rounds
+
+    # U > 16384 exercises _far_final_compacted; tag counts above its
+    # per-round `keep` (U//8 = 4096) exercise the multi-round path.
+    g = np.random.default_rng(3)
+    N, U = 2, 32768
+    out = g.integers(0, 256, (N, U)).astype(np.int64)
+    for n in range(N):
+        idx = np.sort(g.choice(np.arange(600, U), 9000, replace=False))
+        for j in idx:
+            out[n, j] = FAR_TAG | int(g.integers(0, j - 520))
+    got = np.asarray(_far_rounds(
+        jnp.asarray(out.astype(np.int32)), U, 512))
+    want = out.copy()
+    for n in range(N):
+        for j in range(U):  # ascending: sources already resolved
+            if want[n, j] & FAR_TAG:
+                want[n, j] = want[n, want[n, j] & (FAR_TAG - 1)]
     assert (got == want).all()

@@ -49,9 +49,10 @@ from ..kernels.common import (
     fill_records_delta,
     hash_candidates,
     le_words,
+    place_monotone,
     resolve_copies,
     run_matchlens,
-    scatter_add_matmul,
+    scatter_sorted_or,
 )
 
 CHUNK = 4096
@@ -182,7 +183,7 @@ def _records_to_output(rec_pos, rec_val, p_final, err, payload, plen,
     """Shared decode tail: token records -> output bytes."""
     # --- records -> dense per-output-position token info (sort fill) ---
     j = jnp.broadcast_to(jnp.arange(CHUNK, dtype=jnp.int32)[None, :], (N, CHUNK))
-    vpack = fill_records_delta(rec_pos, rec_val, CHUNK)
+    vpack, _ = fill_records_delta(rec_pos, rec_val, CHUNK)
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
@@ -291,8 +292,10 @@ def encode_batch(chunks, clen):
     data_before = data_before_T.T
 
     # ---- byte assembly: the stream is a partition (each payload byte
-    # written exactly once), so the whole layout is THREE position-major
-    # MXU scatter-adds — no token-major fill and no sort fills at all.
+    # written exactly once) and every record stream is sorted by its
+    # target position, so the whole layout is monotone placements
+    # (compact+expand log-depth passes — see kernels.common; the earlier
+    # one-hot MXU scatters paid records x payload-width MACs).
     # Committed position p is token t = t_after[p]-1 in group t>>3; its
     # first byte sits at (t>>3 + 1) + data_before[p] (one flag byte per
     # started group precedes the group's data bytes).
@@ -305,17 +308,15 @@ def encode_batch(chunks, clen):
     b0 = jnp.where(iscp_p, tokv & 0xFF, chunks)
 
     # group flag bytes, assembled in group-index space: copy tokens
-    # scatter their bit; each group's FIRST token scatters the group's
-    # flag-byte position (+1 so a real position 0 survives the 0=empty
-    # convention of scatter-add slots)
+    # OR their bit per group (grp_p is non-decreasing: segmented OR);
+    # each group's FIRST token places the group's flag-byte position
+    # (+1 so a real position 0 survives the 0=empty convention)
     NG = n // 8
     gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
-    fval = scatter_add_matmul(
-        jnp.where(iscp_p, grp_p, -1),
-        jnp.left_shift(1, t_idx & 7), NG, nbits=8)
-    fpos1 = scatter_add_matmul(
-        jnp.where(committed & ((t_idx & 7) == 0), grp_p, -1),
-        off_p, NG, nbits=14)  # = flag position + 1
+    fval = scatter_sorted_or(
+        grp_p, jnp.where(iscp_p, jnp.left_shift(1, t_idx & 7), 0), NG)
+    fpos1 = place_monotone(
+        ~(committed & ((t_idx & 7) == 0)), grp_p, off_p, NG)
     ngroups = (T_total + 7) >> 3
     grp_exists = gq < ngroups[:, None]
 
@@ -323,18 +324,13 @@ def encode_batch(chunks, clen):
     bq = jnp.broadcast_to(
         jnp.arange(MAXQ, dtype=jnp.int32)[None, :], (N, MAXQ)
     )
-    val = scatter_add_matmul(
-        jnp.concatenate([
-            jnp.where(committed, off_p, -1),
-            jnp.where(iscp_p, off_p + 1, -1),
-            jnp.where(grp_exists, fpos1 - 1, -1),
-        ], axis=1),
-        jnp.concatenate([
-            jnp.where(committed, b0, 0),
-            jnp.where(iscp_p, tokv >> 8, 0),
-            jnp.where(grp_exists, fval, 0),
-        ], axis=1),
-        MAXQ, nbits=8)
+    d_b0, d_hi = place_monotone(
+        ~committed, off_p,
+        (jnp.where(committed, b0, 0), jnp.where(iscp_p, tokv >> 8, 0)),
+        MAXQ)
+    d_fl = place_monotone(
+        ~grp_exists, fpos1 - 1, jnp.where(grp_exists, fval, 0), MAXQ)
+    val = d_b0 | jnp.roll(d_hi, 1, axis=1) | d_fl
     plen = jnp.where(T_total > 0, ngroups + data_total, 0)
     payload = jnp.where(bq < plen[:, None], val, 0)
     return payload, plen

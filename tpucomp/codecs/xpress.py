@@ -40,15 +40,15 @@ from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     multi_matchlens,
-    fill_records_delta,
     fill_records_delta2,
     greedy_commit,
     hash_candidates,
     le_words,
+    place_monotone,
     resolve_copies,
     resolve_copies_wide,
     run_matchlens,
-    scatter_add_matmul,
+    scatter_sorted_or,
 )
 
 MIN_MATCH = 3
@@ -81,7 +81,7 @@ _M_U32_0, _M_U32_1, _M_U32_2, _M_U32_3 = 10, 11, 12, 13
 _COPY_BIT = 1 << 20
 
 
-def make_decoder(u: int, mode=None):
+def make_decoder(u: int, mode=None, jitter=None):
     """Build a jitted decoder for unit capacity ``u``.
 
     Args (of the returned function):
@@ -93,13 +93,19 @@ def make_decoder(u: int, mode=None):
 
     ``mode``: None = XLA scan; "tpu"/"interpret" = Pallas parse kernel
     (kernels.xp_pallas) with the same record stream and shared tail.
+    ``jitter``: jit factory (default jax.jit) — dist.ShardedCodec passes
+    a mesh-sharded one (batch dim partitioned over ('data',)).
     """
+    if u > 65536:
+        # decode-tail state encodings (16-bit position planes in
+        # fill_records_delta2, 17-bit far-pointer state) cap the unit
+        # size; larger buffers must be segmented into <= 64 KiB units.
+        raise ArgError("xpress unit_size must be <= 65536")
 
-    @jax.jit
     def dec(payload, plen, out_len):
         return _decode_impl(payload, plen, out_len, u, mode)
 
-    return dec
+    return (jitter or jax.jit)(dec)
 
 
 def _decode_impl(payload, plen, out_len, U, mode=None):
@@ -261,9 +267,9 @@ def _decode_impl(payload, plen, out_len, U, mode=None):
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
                        mode=None):
     """Shared decode tail: monotone token records -> output bytes."""
-    err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack, tokpos = fill_records_delta2(rec_pos, rec_val, U)
+    vpack, tokpos, _ = fill_records_delta2(rec_pos, rec_val, U)
+    err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     # periodic fold (see xpress_huff._records_to_output): overlapping
@@ -293,12 +299,14 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
 _RUN_DISPS = (1, 2, 3)
 
 
-def make_encoder(u: int):
-    @jax.jit
+def make_encoder(u: int, jitter=None):
+    if u > 65536:
+        raise ArgError("xpress unit_size must be <= 65536")
+
     def enc(units, ulen):
         return _encode_impl(units, ulen, u)
 
-    return enc
+    return (jitter or jax.jit)(enc)
 
 
 def _match_extra_sizes(L, opens):
@@ -386,26 +394,26 @@ def _encode_impl(units, ulen, U):
     # nibble pairing in nibble-index space (k = nu_cum-1 per user):
     # openers (even k) deposit their low nibble and their nib byte's
     # position; partners (odd k) deposit their nibble at k-1's high
-    # half.  Everything combines elementwise — no gathers.
+    # half.  All streams are strictly increasing in their key space, so
+    # everything assembles with monotone placements (traffic-bound; the
+    # old one-hot MXU scatters paid records x width MACs).
     kidx = nu_cum - 1
     is_open = nib_user & opens_pm
     is_part = nib_user & ~opens_pm
-    mlow = scatter_add_matmul(
-        jnp.where(is_open, kidx, -1), nibval, n, nbits=4)
-    mhigh = scatter_add_matmul(
-        jnp.where(is_part, kidx - 1, -1), nibval, n, nbits=4)
     # opener's nib byte sits at its own off+2: deposit off+3 (>=1 so a
     # real position survives the 0=absent convention)
-    mpos1 = scatter_add_matmul(
-        jnp.where(is_open, kidx, -1), off_p + 3, n, nbits=18)
+    mlow, mpos1 = place_monotone(
+        ~is_open, jnp.where(is_open, kidx, -1), (nibval, off_p + 3), n)
+    mhigh = place_monotone(
+        ~is_part, jnp.where(is_part, kidx - 1, -1), nibval, n)
     nibbyte_m = mlow | (mhigh << 4)
 
     # ---- group flag words, assembled in group-index space ----
     NG = n // 32
     gq = jnp.broadcast_to(jnp.arange(NG, dtype=jnp.int32)[None, :], (N, NG))
-    fbits = scatter_add_matmul(
-        jnp.where(iscp_pm, grp_p, -1),
-        jnp.left_shift(1, 31 - (t_idx & 31)), NG, nbits=32)
+    fbits = scatter_sorted_or(
+        grp_p, jnp.where(iscp_pm, jnp.left_shift(1, 31 - (t_idx & 31)), 0),
+        NG)
     ngroups = (T_total + 31) >> 5
     grp_exists = gq < ngroups[:, None]
     # padding bits (absent tokens of the last group) are 1s per the
@@ -415,9 +423,9 @@ def _encode_impl(units, ulen, U):
     pad_bits = jnp.where(
         cnt_g < 32, jnp.left_shift(1, 32 - cnt_g) - 1, 0)
     fv = fbits | pad_bits
-    fpos1 = scatter_add_matmul(
-        jnp.where(committed & ((t_idx & 31) == 0), grp_p, -1),
-        off_p - 3, NG, nbits=18)  # = flag-word position + 1
+    fpos1 = place_monotone(
+        ~(committed & ((t_idx & 31) == 0)), grp_p, off_p - 3,
+        NG)  # = flag-word position + 1
 
     # ---- escape bytes after the 2-byte token:
     #   [nib (if opens)] [esc byte | 0xFF] [u16 lo, hi] [u32 b0..b3]
@@ -433,29 +441,40 @@ def _encode_impl(units, ulen, U):
 
     MAXP = max_payload(n)
     bq = jnp.broadcast_to(jnp.arange(MAXP, dtype=jnp.int32)[None, :], (N, MAXP))
-    pos_sets = [
-        jnp.where(committed, off_p, -1),
-        jnp.where(iscp_pm, off_p + 1, -1),
-        jnp.where(mpos1 > 0, mpos1 - 1, -1),  # nibble bytes (m-space)
-        jnp.where(has_esc, esc0, -1),
-        jnp.where(has_big, esc0 + 1, -1),
-        jnp.where(has_big, esc0 + 2, -1),
-    ] + [jnp.where(has_u32, esc0 + 3 + k, -1) for k in range(4)]
-    val_sets = [
-        b0,
-        tokv >> 8,
-        nibbyte_m,
-        esc_bv,
-        u16v & 0xFF,
-        u16v >> 8,
-    ] + [(L_pmv >> (8 * k)) & 0xFF for k in range(4)]
-    # flag words: 4 LE bytes each, from group space
-    for k in range(4):
-        pos_sets.append(jnp.where(grp_exists, fpos1 - 1 + k, -1))
-        val_sets.append((fv >> (8 * k)) & 0xFF)
-    val = scatter_add_matmul(
-        jnp.concatenate(pos_sets, axis=1),
-        jnp.concatenate(val_sets, axis=1), MAXP, nbits=8)
+
+    def rolled_or(planes, base=None):
+        acc = planes[0] if base is None else base | planes[0]
+        for k in range(1, len(planes)):
+            acc = acc | jnp.roll(planes[k], k, axis=1)
+        return acc
+
+    # token bytes (b0 at off_p; match hi byte at off_p+1 via roll —
+    # zero-valued placements from literal tokens OR harmlessly)
+    tok_planes = place_monotone(
+        ~committed, off_p,
+        (jnp.where(committed, b0, 0), jnp.where(iscp_pm, tokv >> 8, 0)),
+        MAXP)
+    # escape-byte chain anchored at esc0 (strictly increasing among
+    # escape users; subset planes carry zeros elsewhere)
+    esc_vals = (
+        jnp.where(has_esc, esc_bv, 0),
+        jnp.where(has_big, u16v & 0xFF, 0),
+        jnp.where(has_big, u16v >> 8, 0),
+    ) + tuple(
+        jnp.where(has_u32, (L_pmv >> (8 * k)) & 0xFF, 0) for k in range(4)
+    )
+    esc_planes = place_monotone(~has_esc, esc0, esc_vals, MAXP)
+    # nibble bytes (positions from m-space) + flag words (group space)
+    nib_plane = place_monotone(mpos1 == 0, mpos1 - 1, nibbyte_m, MAXP)
+    flag_planes = place_monotone(
+        ~grp_exists, fpos1 - 1,
+        tuple((fv >> (8 * k)) & 0xFF for k in range(4)), MAXP)
+    val = (
+        rolled_or(tok_planes)
+        | rolled_or(esc_planes)
+        | nib_plane
+        | rolled_or(flag_planes)
+    )
 
     plen = jnp.where(T_total > 0, 4 * ngroups + data_total, 0)
     payload = jnp.where(bq < plen[:, None], val, 0)
@@ -470,27 +489,35 @@ _ENCODERS = {}
 _DECODERS = {}
 
 
-def _enc_for(u):
-    if u not in _ENCODERS:
-        _ENCODERS[u] = make_encoder(u)
-    return _ENCODERS[u]
+def _jit_key(jitter):
+    return getattr(jitter, "key", None) if jitter is not None else None
 
 
-def _dec_for(u, mode=None):
-    key = (u, mode)
+def _enc_for(u, jitter=None):
+    key = (u, _jit_key(jitter))
+    if key not in _ENCODERS:
+        _ENCODERS[key] = make_encoder(u, jitter)
+    return _ENCODERS[key]
+
+
+def _dec_for(u, mode=None, jitter=None):
+    key = (u, mode, _jit_key(jitter))
     if key not in _DECODERS:
-        _DECODERS[key] = make_decoder(u, mode)
+        _DECODERS[key] = make_decoder(u, mode, jitter)
     return _DECODERS[key]
 
 
-def compress_units(units_data, unit_size=UNIT):
+def compress_units(units_data, unit_size=UNIT, jitter=None, pad_to=None,
+                   gather=np.asarray):
     """Compress a list of byte units (each <= unit_size) in one batch.
 
     Returns a list of per-unit Xpress streams (each independently
-    decodable per [MS-XCA] §2.3)."""
+    decodable per [MS-XCA] §2.3).  ``jitter``/``pad_to``/``gather``: see
+    dist.ShardedCodec (mesh-sharded jit, device-count batch padding,
+    multi-host materialization)."""
     if not units_data:
         return []
-    N = pad_batch(len(units_data))
+    N = pad_batch(len(units_data), pad_to)
     units = np.zeros((N, unit_size), np.int32)
     ulen = np.zeros(N, np.int32)
     for i, ud in enumerate(units_data):
@@ -499,19 +526,21 @@ def compress_units(units_data, unit_size=UNIT):
             raise ArgError("unit larger than unit_size")
         units[i, : len(a)] = a
         ulen[i] = len(a)
-    payload, plen = _enc_for(unit_size)(jnp.asarray(units), jnp.asarray(ulen))
-    payload = np.asarray(payload)
-    plen = np.asarray(plen)
+    payload, plen = _enc_for(unit_size, jitter)(
+        jnp.asarray(units), jnp.asarray(ulen))
+    payload = gather(payload)
+    plen = gather(plen)
     return [
         payload[i, : int(plen[i])].astype(np.uint8).tobytes()
         for i in range(len(units_data))
     ]
 
 
-def _decode_bucket(streams, out_lens, unit_size, mode):
+def _decode_bucket(streams, out_lens, unit_size, mode, jitter=None,
+                   pad_to=None, gather=np.asarray):
     if any(o > unit_size for o in out_lens):
         raise ArgError("out_len larger than unit_size")
-    N = pad_batch(len(streams))
+    N = pad_batch(len(streams), pad_to)
     # scan length = padded payload width; 8 KiB buckets track the batch's
     # real max stream size instead of the all-literals worst case
     sizeb = max(1024, -(-max(len(s) for s in streams) // 8192) * 8192)
@@ -524,19 +553,20 @@ def _decode_bucket(streams, out_lens, unit_size, mode):
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size, mode)(
+    out, err = _dec_for(unit_size, mode, jitter)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
-    if np.asarray(err)[: len(streams)].any():
+    out = gather(out)
+    if gather(err)[: len(streams)].any():
         raise DataError("Xpress: malformed unit stream")
-    out = np.asarray(out)
     return [
         out[i, : int(olen[i])].astype(np.uint8).tobytes()
         for i in range(len(streams))
     ]
 
 
-def decompress_units(streams, out_lens, unit_size=UNIT):
+def decompress_units(streams, out_lens, unit_size=UNIT, jitter=None,
+                     pad_to=None, gather=np.asarray):
     """Decompress a batch of independent Xpress unit streams (bucketed
     by stream size so one incompressible unit doesn't stretch every
     unit's scan)."""
@@ -554,6 +584,9 @@ def decompress_units(streams, out_lens, unit_size=UNIT):
             [out_lens[i] for i in idxs],
             unit_size,
             mode,
+            jitter,
+            pad_to,
+            gather,
         )
         for i, o in zip(idxs, outs):
             results[i] = o

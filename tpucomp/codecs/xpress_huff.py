@@ -43,7 +43,6 @@ from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
     multi_matchlens,
-    compact_chronological,
     fill_records_delta,
     fill_records_delta2,
     greedy_commit,
@@ -51,10 +50,11 @@ from ..kernels.common import (
     histogram_matmul,
     le_words,
     mxu_gather_rows,
+    place_monotone,
     resolve_copies,
     resolve_copies_wide,
     run_matchlens,
-    scatter_add_matmul,
+    scatter_sorted_or,
 )
 from ..kernels.huffman import (
     MAX_CODE_LEN,
@@ -104,12 +104,15 @@ _P_OFFSET = 1  # need obc offset bits (after refill)
 _P_ESC = 2  # need length-escape bytes (offset already read)
 
 
-def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS):
-    @jax.jit
+def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
+                 jitter=None):
+    if u > BLOCK:
+        raise ArgError("XPRESS_HUFF units are single <= 64 KiB blocks")
+
     def dec(payload, plen, out_len):
         return _decode_impl(payload, plen, out_len, u, substeps, mode, rank_cap)
 
-    return dec
+    return (jitter or jax.jit)(dec)
 
 
 def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
@@ -343,7 +346,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
 
 # min code length guaranteed by each substep bucket (_substeps_for
 # inverse): every decoded symbol consumes >= mcl bits, bounding the
-# record count of a body (compact_chronological keep bound)
+# record count of a body (the fill's dedupe/compact keep bound)
 _BUCKET_MCL = {3: 8, 5: 4, 9: 2, 17: 1}
 
 
@@ -351,15 +354,11 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
                        mode=None, keep=None):
     """Shared decode tail: monotone token records -> output bytes.
     Records with key >= queries' range (sentinels) never bind.
-    ``keep``: sound bound on real records per row — compacts the raw
-    slot stream before the fill (the fill's MXU cost scales with it)."""
-    if keep is not None and keep < rec_pos.shape[1]:
-        rec_pos, rec_val, ovf = compact_chronological(
-            rec_pos, rec_val, U, keep)
-        errk = errk | ovf
-    err = (errk | (p_final < out_len).astype(jnp.int32)) != 0
+    ``keep``: sound bound on real records per row — the fill dedupes and
+    compacts the raw slot stream to it (overflow -> err)."""
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
-    vpack, tokpos = fill_records_delta2(rec_pos, rec_val, U)
+    vpack, tokpos, ovf = fill_records_delta2(rec_pos, rec_val, U, keep=keep)
+    err = (errk | ovf | (p_final < out_len).astype(jnp.int32)) != 0
     is_copy_j = (vpack & _COPY_BIT) != 0
     disp_j = vpack & (_COPY_BIT - 1)
     # periodic fold: byte k >= d into an OVERLAPPING match copies the
@@ -394,12 +393,14 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
 _RUN_DISPS = (1, 2, 3)
 
 
-def make_encoder(u: int):
-    @jax.jit
+def make_encoder(u: int, jitter=None):
+    if u > BLOCK:
+        raise ArgError("XPRESS_HUFF units are single <= 64 KiB blocks")
+
     def enc(units, ulen):
         return _encode_impl(units, ulen, u)
 
-    return enc
+    return (jitter or jax.jit)(enc)
 
 
 def _encode_impl(units, ulen, U):
@@ -504,36 +505,45 @@ def _encode_impl(units, ulen, U):
     flushes_after = jnp.maximum((Bafter - 1) >> 4, 0)
     F = jnp.maximum((Btot - 1) >> 4, 0)  # total flushed words
 
-    def field_records(s, b, v):
-        """(word, contribution) records for a <=15-bit field at global
-        bit offset s: low word s>>4 and (on straddle) the next word."""
-        w0 = s >> 4
-        fit = 16 - (s & 15) - b  # >= -14
+    # ---- word values, assembled token-major: a token's two fields span
+    # at most 3 consecutive 16-bit words (bitsA + bitsB <= 30), so each
+    # token's contributions c0/c1/c2 to words W, W+1, W+2 are closed-form
+    # elementwise; the per-word OR over tokens is a segmented scan on the
+    # (non-decreasing) word keys + one monotone placement + two rolls.
+    # All traffic-bound — replaces the one-hot MXU scatter whose MACs
+    # scaled as 4 streams x n records x n words.
+    W_tok = S_A >> 4
+    relA = S_A & 15
+    relB = S_B - 16 * W_tok  # = relA + bitsA <= 30
+
+    def rel_field(rel, b, v):
+        """(lane, lo, hi): a b<=15-bit field at window bit offset rel
+        (0..30) lands in window lane rel>>4 (lo part) and, on straddle,
+        lane+1 (hi part), MSB-first within each 16-bit lane."""
+        lane = rel >> 4
+        fit = 16 - (rel & 15) - b
         lo = jnp.where(
             fit >= 0,
             jnp.left_shift(v, jnp.maximum(fit, 0)),
             jnp.right_shift(v, jnp.maximum(-fit, 0)),
-        )
+        ) & 0xFFFF
         lo = jnp.where(b > 0, lo, 0)
         spill = (b > 0) & (fit < 0)
         hi = jnp.where(
             spill, jnp.left_shift(v, jnp.maximum(16 + fit, 0)) & 0xFFFF, 0
         )
-        hikey = w0 + spill.astype(jnp.int32)
-        return w0, lo, hikey, hi
+        return lane, lo, hi
 
-    a_w0, a_lo, a_w1, a_hi = field_records(S_A, bitsA, code_v)
-    b_w0, b_lo, b_w1, b_hi = field_records(S_B, bitsB, offraw_v)
+    _, a_lo, a_hi = rel_field(relA, bitsA, code_v)  # lane always 0
+    b_lane, b_lo, b_hi = rel_field(relB, bitsB, offraw_v)
+    c0 = a_lo | jnp.where(b_lane == 0, b_lo, 0)
+    c1 = a_hi | jnp.where(b_lane == 0, b_hi, b_lo)
+    c2 = jnp.where(b_lane == 1, b_hi, 0)
 
-    # ---- word values: one MXU scatter-add (each stream bit is written
-    # exactly once, so disjoint-bit OR combining == ADD) ----
     WMAX = n + 8  # bits <= 15L+30M with L+3M <= n  =>  words <= 15n/16+1
     wq = jnp.broadcast_to(jnp.arange(WMAX, dtype=jnp.int32)[None, :], (N, WMAX))
-    word_val = scatter_add_matmul(
-        jnp.concatenate([a_w0, b_w0, a_w1, b_w1], axis=1),
-        jnp.concatenate([a_lo, b_lo, a_hi, b_hi], axis=1),
-        WMAX, nbits=16,
-    )
+    d0, d1, d2 = scatter_sorted_or(W_tok, (c0, c1, c2), WMAX)
+    word_val = d0 | jnp.roll(d1, 1, axis=1) | jnp.roll(d2, 2, axis=1)
     nwords = F + (Btot - 16 * F > 0).astype(jnp.int32)
     # reserved-but-unwritten slots hold zeros (like the oracle writer)
     wval = jnp.where(wq < nwords[:, None], word_val, 0)
@@ -544,7 +554,7 @@ def _encode_impl(units, ulen, U):
     # == Eafter of the LAST token with flushes_after <= w-2 (keys are
     # non-decreasing); no such token -> 0 = E_p[0]; all tokens before ->
     # Eafter[last] = raw_total.  Both match the escape-interleave spec.
-    ef = fill_records_delta(flushes_after, Eafter, WMAX)
+    ef, _ = fill_records_delta(flushes_after, Eafter, WMAX)
     e_shift = jnp.concatenate(
         [jnp.zeros((N, 2), jnp.int32), ef[:, : WMAX - 2]], axis=1
     )
@@ -554,24 +564,22 @@ def _encode_impl(units, ulen, U):
     # ---- escape-byte start positions ----
     r_start = 4 + 2 * flushes_after + E_p
 
-    # ---- byte assembly: ONE single-plane scatter-add over all byte
-    # records (2 per word slot + <=3 escape bytes per token; the stream
-    # is a partition, so positions are disjoint) ----
+    # ---- byte assembly: the stream is a partition (positions disjoint),
+    # word-slot bytes and escape bytes each form strictly increasing
+    # position streams — monotone placements + rolls, OR-combined dense
+    # (a plane's zero-valued placements never collide with real bytes).
     body_len = 2 * slots_total + raw_total
     PB = 2 * n + 16  # body capacity
     bq = jnp.broadcast_to(jnp.arange(PB, dtype=jnp.int32)[None, :], (N, PB))
     wvalid = wq < slots_total[:, None]
-    wp0 = jnp.where(wvalid, wpos, -1)
-    wp1 = jnp.where(wvalid, wpos + 1, -1)
-    esc_parts_pos = [
-        jnp.where(nraw > k, r_start + k, -1) for k in range(3)
-    ]
-    esc_parts_val = [(esc_pack >> (8 * k)) & 0xFF for k in range(3)]
-    body = scatter_add_matmul(
-        jnp.concatenate([wp0, wp1, *esc_parts_pos], axis=1),
-        jnp.concatenate(
-            [wval & 0xFF, wval >> 8, *esc_parts_val], axis=1),
-        PB, nbits=8,
+    blo, bhi = place_monotone(~wvalid, wpos, (wval & 0xFF, wval >> 8), PB)
+    esc_vals = tuple(
+        jnp.where(nraw > k, (esc_pack >> (8 * k)) & 0xFF, 0) for k in range(3)
+    )
+    e0, e1, e2 = place_monotone(nraw == 0, r_start, esc_vals, PB)
+    body = (
+        blo | jnp.roll(bhi, 1, axis=1)
+        | e0 | jnp.roll(e1, 1, axis=1) | jnp.roll(e2, 2, axis=1)
     )
     body = jnp.where(bq < body_len[:, None], body, 0)
 
@@ -592,18 +600,25 @@ def _encode_impl(units, ulen, U):
 _ENCODERS = {}
 
 
-def _enc_for(u):
-    if u not in _ENCODERS:
-        _ENCODERS[u] = make_encoder(u)
-    return _ENCODERS[u]
+def _jit_key(jitter):
+    return getattr(jitter, "key", None) if jitter is not None else None
 
 
-def compress_units(units_data, unit_size=BLOCK):
+def _enc_for(u, jitter=None):
+    key = (u, _jit_key(jitter))
+    if key not in _ENCODERS:
+        _ENCODERS[key] = make_encoder(u, jitter)
+    return _ENCODERS[key]
+
+
+def compress_units(units_data, unit_size=BLOCK, jitter=None, pad_to=None,
+                   gather=np.asarray):
     """Compress byte units (each <= unit_size <= 64 KiB) as independent
-    single-block XH streams (one batch call)."""
+    single-block XH streams (one batch call).  ``jitter``/``pad_to``/
+    ``gather``: see dist.ShardedCodec."""
     if not units_data:
         return []
-    N = pad_batch(len(units_data))
+    N = pad_batch(len(units_data), pad_to)
     units = np.zeros((N, unit_size), np.int32)
     ulen = np.zeros(N, np.int32)
     for i, ud in enumerate(units_data):
@@ -612,9 +627,10 @@ def compress_units(units_data, unit_size=BLOCK):
             raise ArgError("unit larger than unit_size")
         units[i, : len(a)] = a
         ulen[i] = len(a)
-    payload, plen = _enc_for(unit_size)(jnp.asarray(units), jnp.asarray(ulen))
-    payload = np.asarray(payload)
-    plen = np.asarray(plen)
+    payload, plen = _enc_for(unit_size, jitter)(
+        jnp.asarray(units), jnp.asarray(ulen))
+    payload = gather(payload)
+    plen = gather(plen)
     return [
         payload[i, : int(plen[i])].astype(np.uint8).tobytes()
         for i in range(len(units_data))
@@ -630,12 +646,12 @@ def _xh_mode():
     return pallas_mode("TPUCOMP_XH_PALLAS")
 
 
-def _dec_for(u, substeps, mode=None, rank_cap=NUM_SYMBOLS):
+def _dec_for(u, substeps, mode=None, rank_cap=NUM_SYMBOLS, jitter=None):
     if mode is None:
         rank_cap = NUM_SYMBOLS  # unused by the XLA scan: one compile
-    key = (u, substeps, mode, rank_cap)
+    key = (u, substeps, mode, rank_cap, _jit_key(jitter))
     if key not in _DECODERS:
-        _DECODERS[key] = make_decoder(u, substeps, mode, rank_cap)
+        _DECODERS[key] = make_decoder(u, substeps, mode, rank_cap, jitter)
     return _DECODERS[key]
 
 
@@ -674,10 +690,11 @@ def _rank_cap(stream) -> int:
 
 
 def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
-                   rank_cap=NUM_SYMBOLS):
+                   rank_cap=NUM_SYMBOLS, jitter=None, pad_to=None,
+                   gather=np.asarray):
     if any(o > unit_size for o in out_lens):
         raise ArgError("out_len larger than unit_size")
-    N = pad_batch(len(streams))
+    N = pad_batch(len(streams), pad_to)
     # scan length = padded payload width; bucket to the batch's real max
     # (power-of-two body) so typical batches don't pay the 2x worst case
     max_body = max(len(s) for s in streams) - 256
@@ -692,19 +709,20 @@ def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size, substeps, mode, rank_cap)(
+    out, err = _dec_for(unit_size, substeps, mode, rank_cap, jitter)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
-    if np.asarray(err)[: len(streams)].any():
+    out = gather(out)
+    if gather(err)[: len(streams)].any():
         raise DataError("XpressHuff: malformed unit stream")
-    out = np.asarray(out)
     return [
         out[i, : int(olen[i])].astype(np.uint8).tobytes()
         for i in range(len(streams))
     ]
 
 
-def decompress_units(streams, out_lens, unit_size=BLOCK):
+def decompress_units(streams, out_lens, unit_size=BLOCK, jitter=None,
+                     pad_to=None, gather=np.asarray):
     """Decompress a batch of independent single-block XH streams.
 
     Blocks are BUCKETED by their table's min code length: a single
@@ -735,6 +753,9 @@ def decompress_units(streams, out_lens, unit_size=BLOCK):
             ss,
             mode,
             rc,
+            jitter,
+            pad_to,
+            gather,
         )
         for i, o in zip(idxs, outs):
             results[i] = o

@@ -28,12 +28,58 @@ from .mesh import data_mesh
 
 
 def _host_gather(x):
-    """Fully materialize a (possibly multi-host sharded) array on host."""
-    if jax.process_count() > 1:  # pragma: no cover - needs a real pod
+    """Fully materialize a (possibly multi-host sharded) array on host.
+
+    Multi-process: ``process_allgather`` rides XLA collectives (ICI
+    within a slice, DCN across hosts) — the TPU-native equivalent of the
+    classic NCCL ragged gather (SURVEY.md §5).  Exercised by
+    tests/test_multiprocess.py on a 2-process CPU ring.
+    """
+    if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))
+
+
+class MeshJit:
+    """jit factory binding batch-dim GSPMD shardings over ('data',).
+
+    Passed as ``jitter`` into the codec modules' batch entry points so
+    every per-format kernel (not just LZNT1) runs partitioned.  The
+    ``key`` attribute keys the modules' compile caches; the last
+    computed output sharding is recorded for partition assertions
+    (tests + dryrun_multichip).
+    """
+
+    _instances = {}
+
+    def __new__(cls, mesh):
+        # One instance per device set: the codec modules' compile caches
+        # key on ``jitter.key``, so the wrapper (and its recorded
+        # sharding) must be shared by every codec using the same mesh.
+        key = ("mesh", tuple(int(d.id) for d in mesh.devices.flat))
+        if key not in cls._instances:
+            inst = super().__new__(cls)
+            inst.sharding = NamedSharding(mesh, P("data"))
+            inst.key = key
+            inst.last_out_sharding = None
+            cls._instances[key] = inst
+        return cls._instances[key]
+
+    def __init__(self, mesh):
+        pass  # state lives in __new__'s per-mesh singleton
+
+    def __call__(self, fn):
+        jf = jax.jit(fn, in_shardings=self.sharding,
+                     out_shardings=self.sharding)
+
+        def wrapped(*args):
+            out = jf(*args)
+            self.last_out_sharding = jax.tree_util.tree_leaves(out)[0].sharding
+            return out
+
+        return wrapped
 
 
 class ShardedCodec:
@@ -44,6 +90,8 @@ class ShardedCodec:
         self.mesh = mesh if mesh is not None else data_mesh()
         self.ndev = self.mesh.devices.size
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.jitter = MeshJit(self.mesh)
+        self.last_stats = None
 
         if self.fmt == Format.LZNT1:
             from ..codecs import lznt1 as m
@@ -75,6 +123,8 @@ class ShardedCodec:
     # ---- encode ----------------------------------------------------------
 
     def compress(self, data: bytes, *, resume: "Archive|None" = None) -> Archive:
+        from ..stats import RunStats, timed
+
         data = bytes(data)
         u = self.unit_size
         units = [data[i : i + u] for i in range(0, len(data), u)] or [b""]
@@ -86,35 +136,61 @@ class ShardedCodec:
         )
         payload = bytearray(resume.payload if resume else b"")
         todo = units[start:]
+        stats = RunStats(fmt=self.fmt.name, units=len(todo))
         if todo:
-            streams = self._compress_units(todo)
+            with timed(stats):
+                streams = self._compress_units(todo)
             for s, unit in zip(streams, todo):
                 manifest.unit_out_lens.append(len(unit))
                 manifest.unit_comp_lens.append(len(s))
                 payload += s
             manifest.done_units = len(units)
+            stats.in_bytes = sum(len(t) for t in todo)
+            stats.out_bytes = sum(len(s) for s in streams)
+        self.last_stats = stats
         return Archive(manifest, bytes(payload))
 
     def _compress_units(self, units):
         if self.fmt == Format.LZNT1:
             return self._lznt1_units(units, encode=True)
-        return self._mod.compress_units(units, unit_size=self.unit_size)
+        return self._mod.compress_units(
+            units, unit_size=self.unit_size, jitter=self.jitter,
+            pad_to=max(self.ndev, 8), gather=_host_gather)
 
     # ---- decode ----------------------------------------------------------
 
     def decompress(self, archive: Archive) -> bytes:
+        from ..stats import RunStats, timed
+
         if archive.manifest.fmt != int(self.fmt):
             raise ArgError("archive format mismatch")
         streams = archive.unit_streams()
         out_lens = archive.manifest.unit_out_lens
-        if self.fmt == Format.LZNT1:
-            return b"".join(self._lznt1_units(streams, encode=False))
-        parts = self._mod.decompress_units(
-            streams, out_lens, unit_size=self.unit_size
-        )
-        return b"".join(parts)
+        stats = RunStats(fmt=self.fmt.name, units=len(streams),
+                         out_bytes=len(archive.payload))
+        with timed(stats):
+            if self.fmt == Format.LZNT1:
+                parts = self._lznt1_units(streams, encode=False)
+            else:
+                parts = self._mod.decompress_units(
+                    streams, out_lens, unit_size=self.unit_size,
+                    jitter=self.jitter, pad_to=max(self.ndev, 8),
+                    gather=_host_gather)
+        out = b"".join(parts)
+        stats.in_bytes = len(out)
+        self.last_stats = stats
+        return out
 
     # ---- LZNT1 unit adapters (chunk == unit) -----------------------------
+
+    def _lznt1_jit(self, encode: bool):
+        from ..codecs.lznt1_expose import decode_batch_impl, encode_batch_impl
+
+        attr = "_lznt1_enc" if encode else "_lznt1_dec"
+        if not hasattr(self, attr):
+            impl = encode_batch_impl if encode else decode_batch_impl
+            setattr(self, attr, self.jitter(impl))
+        return getattr(self, attr)
 
     def _lznt1_units(self, units, encode: bool):
         m = self._mod
@@ -126,7 +202,8 @@ class ShardedCodec:
                 a = np.frombuffer(ud, np.uint8)
                 chunks[i, : len(a)] = a
                 clen[i] = len(a)
-            payload, plen = m.encode_batch(jnp.asarray(chunks), jnp.asarray(clen))
+            payload, plen = self._lznt1_jit(True)(
+                jnp.asarray(chunks), jnp.asarray(clen))
             payload = _host_gather(payload)
             plen = _host_gather(plen)
             out = []
@@ -152,7 +229,7 @@ class ShardedCodec:
                 payload[i, : len(body)] = body
                 plen[i] = len(body)
                 is_comp[i] = bool(header & 0x8000)
-            out, out_lens, err = m.decode_batch(
+            out, out_lens, err = self._lznt1_jit(False)(
                 jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(is_comp)
             )
             out = _host_gather(out)

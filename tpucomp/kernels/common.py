@@ -499,6 +499,9 @@ def compact_chronological(rec_pos, rec_val, U, keep):
     snapshot streams — consecutive slots repeating the same position;
     real records always advance the position, so a repeated position is
     always a replica and the FIRST occurrence carries the value).
+    Replica detection is ADJACENT-only (slot i vs slot i-1): a replica
+    separated from its original by a SENT slot would count as a real
+    record — both emitters produce replicas contiguously, keep it so.
 
     Returns (pos, val, overflow): empty tail slots report pos = U
     (ignored by the fill); ``overflow`` flags rows with more than
@@ -516,85 +519,82 @@ def compact_chronological(rec_pos, rec_val, U, keep):
     return jnp.where(valid, p, U), v, overflow
 
 
-def fill_records_delta(rec_pos, rec_val, U, rchunk=4096):
-    """Dense fill: out[n, j] = value of the last record with pos <= j
-    (0 if none), for every j in [0, U).
+def _fill_expand(rec_pos, rec_vals, U, rings, keep=None):
+    """Shared dense-fill core: out[n, j] = value of the last record with
+    pos <= j (0 if none), for each value plane, plus an overflow flag.
 
-    Sort-free replacement for fill_records_dense.  Requires records
-    CHRONOLOGICAL among real entries (duplicate positions allowed —
-    later wins by telescoping); any pos outside [0, U) counts as empty;
-    values in [0, 2^21).
+    Requires record positions NON-DECREASING among real entries
+    (pos outside [0, U) counts as empty).  Adjacent duplicate positions
+    are allowed: the LAST of a contiguous equal-pos run wins (replicas
+    from carry-replicated scan streams repeat the value, so last == the
+    record; multi-writer streams like cumulative escape tables want
+    later-wins).  Non-adjacent duplicates cannot occur on non-decreasing
+    input.
 
-    Three steps, all streaming:
-      1. per-slot previous real value (log-depth forward fill) ->
-         delta_i = (val_i - prev_i) mod 2^22;
-      2. scatter-add deltas to their positions with one-hot matmuls on
-         the MXU — exact: three 8-bit bf16 byte planes, f32 accumulation
-         (plane sums < 2^24), combined in int32 where mod-2^32 wrap is
-         harmless because 2^22 | 2^32;
-      3. cumsum along j and mod 2^22 reconstructs the piecewise-constant
-         fill.
+    Pipeline — all elementwise log-depth passes, no sorts, no MXU:
+      1. dedupe to last-of-run, left-compact to ``keep`` dense columns
+         (compact_monotone: strictly increasing positions after);
+      2. per-record delta_i = (val_i - val_{i-1}) mod ring (trivial on
+         the deduped dense array: one shift);
+      3. monotone expand of the deltas to their byte positions
+         (strictly increasing targets: collision-free);
+      4. cumsum mod ring reconstructs the piecewise-constant fill
+         (int32 wrap is harmless: every ring divides 2^32).
+
+    Value invariant per plane: values < ring/2 so deltas fit mod ring.
+    ``keep`` bounds real records per row (caller-guaranteed; the
+    returned overflow flags violations).  Default keep = min(R, U)
+    cannot overflow.  Replaces the one-hot MXU scatter
+    (records x U MACs — measured 100+ ms on 64 KiB-block batches where
+    this pipeline costs ~10 ms).
     """
     N, R = rec_pos.shape
     real = (rec_pos >= 0) & (rec_pos < U)
-    rl = real.astype(jnp.int32)
+    nxt_pos = jnp.concatenate(
+        [rec_pos[:, 1:], jnp.full((N, 1), -1, jnp.int32)], axis=1)
+    nxt_real = jnp.concatenate(
+        [real[:, 1:], jnp.zeros((N, 1), bool)], axis=1)
+    last_of_run = real & ~(nxt_real & (nxt_pos == rec_pos))
+    if keep is None:
+        keep = min(R, U)
+    keep = min(keep, R)
+    cnt = jnp.sum(last_of_run.astype(jnp.int32), axis=1)
+    overflow = (cnt > keep).astype(jnp.int32)
+    ops, valid = compact_monotone(
+        ~last_of_run, (rec_pos, *rec_vals), keep=keep)
+    p, vs = ops[0], ops[1:]
+    z1 = jnp.zeros((N, 1), jnp.int32)
+    deltas = []
+    for v, ring in zip(vs, rings):
+        v = jnp.where(valid, v, 0)
+        pv = jnp.concatenate([z1, v[:, :-1]], axis=1)
+        deltas.append(jnp.where(valid, (v - pv) & (ring - 1), 0))
+    col = jnp.arange(p.shape[1], dtype=jnp.int32)[None, :]
+    shift = jnp.where(valid, p - col, 0)
+    placed, _ = expand_monotone(~valid, tuple(deltas), shift, U)
+    outs = tuple(jnp.cumsum(d, axis=1) & (ring - 1)
+                 for d, ring in zip(placed, rings))
+    return outs, overflow
 
-    def comb(a, b):
-        ha, va = a
-        hb, vb = b
-        return ha | hb, vb + (1 - hb) * va
 
-    _, incl_v = lax.associative_scan(
-        comb, (rl, jnp.where(real, rec_val, 0)), axis=1)
-    prev_v = jnp.concatenate(
-        [jnp.zeros((N, 1), jnp.int32), incl_v[:, :-1]], axis=1)
-    dval = jnp.where(real, (rec_val - prev_v) & 0x3FFFFF, 0)
-
-    UR = -(-U // 128)
-    prow = jnp.where(real, rec_pos >> 7, UR)  # UR = scatter miss
-    plane = jnp.where(real, rec_pos & 127, 0)
-    delta = _scatter_planes(prow, plane, (dval & 0xFF, (dval >> 8) & 0xFF,
-                                          (dval >> 16) & 0xFF), UR)
-    out = jnp.cumsum(delta.reshape(N, UR * 128), axis=1) & 0x3FFFFF
-    return out[:, :U]
+def fill_records_delta(rec_pos, rec_val, U, keep=None):
+    """Dense fill: out[n, j] = value of the last record with pos <= j
+    (0 if none), for every j in [0, U).  Values < 2^21 (22-bit delta
+    ring).  See _fill_expand for the contract; returns (fill, overflow).
+    """
+    (vf,), ovf = _fill_expand(rec_pos, (rec_val,), U, (1 << 22,), keep)
+    return vf, ovf
 
 
-def fill_records_delta2(rec_pos, rec_val, U):
+def fill_records_delta2(rec_pos, rec_val, U, keep=None):
     """fill_records_delta that ALSO returns, per output byte, the
     POSITION of its binding record (the token start — needed by the
-    periodic-fold in copy resolution).  The position fill rides the same
-    one-hot scatter as the value fill: positions < U < 2^16 need only
-    two extra byte planes (cumsum mod 2^16 reconstructs them exactly).
-    Returns (val_fill, pos_fill)."""
-    N, R = rec_pos.shape
-    real = (rec_pos >= 0) & (rec_pos < U)
-    rl = real.astype(jnp.int32)
-
-    def comb(a, b):
-        ha, va, pa = a
-        hb, vb, pb = b
-        return (ha | hb, vb + (1 - hb) * va, pb + (1 - hb) * pa)
-
-    _, incl_v, incl_p = lax.associative_scan(
-        comb, (rl, jnp.where(real, rec_val, 0),
-               jnp.where(real, rec_pos, 0)), axis=1)
-    z1 = jnp.zeros((N, 1), jnp.int32)
-    prev_v = jnp.concatenate([z1, incl_v[:, :-1]], axis=1)
-    prev_p = jnp.concatenate([z1, incl_p[:, :-1]], axis=1)
-    dval = jnp.where(real, (rec_val - prev_v) & 0x3FFFFF, 0)
-    dpos = jnp.where(real, (rec_pos - prev_p) & 0xFFFF, 0)
-
-    UR = -(-U // 128)
-    prow = jnp.where(real, rec_pos >> 7, UR)
-    plane = jnp.where(real, rec_pos & 127, 0)
-    dv, dp = _scatter_planes(
-        prow, plane,
-        (dval & 0xFF, (dval >> 8) & 0xFF, (dval >> 16) & 0xFF,
-         dpos & 0xFF, (dpos >> 8) & 0xFF),
-        UR, groups=[3, 2])
-    vf = jnp.cumsum(dv.reshape(N, UR * 128), axis=1) & 0x3FFFFF
-    pf = jnp.cumsum(dp.reshape(N, UR * 128), axis=1) & 0xFFFF
-    return vf[:, :U], pf[:, :U]
+    periodic-fold in copy resolution).  Positions < U <= 2^16 ride a
+    second delta plane (17-bit ring).  Returns (val_fill, pos_fill,
+    overflow)."""
+    (vf, pf), ovf = _fill_expand(
+        rec_pos, (rec_val, rec_pos), U, (1 << 22, 1 << 17), keep)
+    return vf, pf, ovf
 
 
 def _scatter_planes(prow, plane, byteplanes, UR, rchunk=None, groups=None):
@@ -622,10 +622,12 @@ def _scatter_planes(prow, plane, byteplanes, UR, rchunk=None, groups=None):
     iota_l = jnp.arange(128, dtype=jnp.int32)
     # row slab: accumulator [slab, UR, 128] int32 <= ~16 MB
     slab = max(8, min(N, (1 << 22) // max(1, UR * 128 * 4) // 8 * 8))
-    # record chunk: one-hot [slab, rchunk, UR] bf16 <= ~1 GB
+    # record chunk: one-hot [slab, rchunk, UR] bf16 <= ~1 GB.  The f32
+    # exactness contract (each plane's per-chunk sum <= rchunk * 255 <
+    # 2^24) requires rchunk <= 65536 regardless of the caller's value.
     if rchunk is None:
         rchunk = max(512, ((1 << 29) // max(1, slab * UR)) // 512 * 512)
-    rchunk = min(rchunk, -(-R // 512) * 512)
+    rchunk = min(rchunk, -(-R // 512) * 512, 65536)
     rpad = -(-R // rchunk) * rchunk
     npad = -(-N // slab) * slab
     prow = jnp.pad(prow, ((0, npad - N), (0, rpad - R)), constant_values=UR)
@@ -674,15 +676,68 @@ def _scatter_planes(prow, plane, byteplanes, UR, rchunk=None, groups=None):
     return outs if ngroups > 1 else outs[0]
 
 
-def scatter_add_matmul(pos, val, U, nbits=16, rchunk=4096):
+def place_monotone(empty, keys, vals, U, keep=None):
+    """Dense placement of SORTED records: out[n, k] = the value whose
+    key == k (0 where none).  Keys must be STRICTLY INCREASING among
+    non-empty entries per row (keys outside [0, U) also count empty).
+    ``vals`` may be a tuple (planes share the compaction/expand passes).
+
+    compact_monotone + expand_monotone: all elementwise log-depth
+    passes (traffic-bound) — replaces one-hot MXU scatters whose MACs
+    scale as records x U (measured 10-100x slower at stream widths).
+    """
+    single = not isinstance(vals, (tuple, list))
+    vs = (vals,) if single else tuple(vals)
+    N, R = keys.shape
+    empty = empty | (keys < 0) | (keys >= U)
+    if keep is None:
+        keep = min(R, U)
+    ops, valid = compact_monotone(empty, (keys, *vs), keep=keep)
+    k, cvs = ops[0], ops[1:]
+    col = jnp.arange(k.shape[1], dtype=jnp.int32)[None, :]
+    shift = jnp.where(valid, k - col, 0)
+    placed, _ = expand_monotone(~valid, cvs, shift, U)
+    return placed[0] if single else placed
+
+
+def scatter_sorted_or(keys, vals, U):
+    """out[n, u] = OR of vals over entries with key == u (0 where none).
+
+    Keys NON-DECREASING along the row; equal keys form contiguous runs
+    (no gaps), OR-combined by a segmented scan; zero-valued placeholder
+    entries are harmless.  Keys outside [0, U) are dropped.  ``vals``
+    may be a tuple.  Same cost model as place_monotone.
+    """
+    single = not isinstance(vals, (tuple, list))
+    vs = (vals,) if single else tuple(vals)
+    N, R = keys.shape
+
+    def comb(a, b):
+        ka, va = a[0], a[1:]
+        kb, vb = b[0], b[1:]
+        same = ka == kb
+        return (kb, *(vb[i] | jnp.where(same, va[i], 0)
+                      for i in range(len(va))))
+
+    scanned = lax.associative_scan(comb, (keys, *vs), axis=1)
+    ovals = scanned[1:]
+    nxt = jnp.concatenate(
+        [keys[:, 1:], jnp.full((N, 1), -1, jnp.int32)], axis=1)
+    out = place_monotone(keys == nxt, keys, ovals, U)
+    return out[0] if single else out
+
+
+def scatter_add_matmul(pos, val, U, nbits=16, rchunk=None):
     """out[n, j] = sum over records i of val_i where pos_i == j.
 
     Direct one-hot matmul scatter-add on the MXU (no ordering
     requirement on ``pos``; entries outside [0, U) are dropped).  Exact:
     ceil(nbits/8) 8-bit bf16 byte planes with f32 accumulation — per
-    chunk each plane sums <= rchunk * 255 < 2^24.  For records with
-    DISTINCT positions (bitstream fields, byte slots) the sum is the
-    value itself, and disjoint-bit OR combining is exactly ADD.
+    chunk each plane sums <= rchunk * 255 < 2^24 (``rchunk`` is
+    forwarded to the scatter core and clamped to 65536 there so the
+    bound holds for any caller value).  For records with DISTINCT
+    positions (bitstream fields, byte slots) the sum is the value
+    itself, and disjoint-bit OR combining is exactly ADD.
     Values must be in [0, 2^nbits); cost is MAC-bound at
     planes * N * R * U MACs plus the R x U/128 one-hot traffic.
     """
@@ -697,7 +752,7 @@ def scatter_add_matmul(pos, val, U, nbits=16, rchunk=4096):
         prow, plane,
         tuple(lax.shift_right_logical(v, 8 * b) & 0xFF
               for b in range(nplanes)),
-        UR)
+        UR, rchunk=rchunk)
     return out.reshape(N, UR * 128)[:, :U]
 
 
@@ -1132,14 +1187,65 @@ def _far_rounds(out, U, min_hop):
     # levels: 4 KiB always (16x cheaper rounds); 16 KiB only at batch
     # scale, where it pays for itself by saving full-row rounds whose
     # MACs grow with N*U*U (measured at 719 rows: +84 ms level, -200 ms
-    # of full rounds); final full-row level runs to completion
-    levels = [(4096, 8)]
+    # of full rounds).  A level only runs when it divides U evenly (the
+    # segment reshape needs it).  Long rows then take the COMPACTED
+    # full-row level (gather MACs scale with the tagged count, not U^2
+    # — the dense full-row round measured ~25 ms on a 3.6 MB bucket vs
+    # ~3% surviving tags); the dense full-row level runs last as the
+    # mop-up (near-free once converged) and covers small U.
+    levels = [(4096, 10)]
     if N >= 256:
-        levels.append((16384, 6))
-    for S, cap in [(s, c) for s, c in levels if min_hop < s < U]:
+        levels.append((16384, 8))
+    for S, cap in [(s, c) for s, c in levels
+                   if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
+    if U > 16384:
+        out = _far_final_compacted(out, U, keep=max(2048, U // 8))
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
+
+
+def _far_final_compacted(out, U, keep, max_iters=6):
+    """Full-row pointer-doubling rounds with TAGGED-QUERY COMPACTION.
+
+    Per round: the first ``keep`` tagged bytes per row left-compact
+    (monotone passes, traffic-bound), ONE MXU gather fetches their
+    current targets from the full row, and a monotone expand scatters
+    the fetched states back to the tagged byte positions (strictly
+    increasing: collision-free).  Gather MACs scale with ``keep``
+    instead of U, ~U/keep cheaper per round than the dense full-row
+    round; fetched states may themselves be tags, so rounds still
+    pointer-double.  Rows with more than ``keep`` tags resolve their
+    first ``keep`` per round and the rest in later rounds; anything
+    left after ``max_iters`` falls through to the caller's dense
+    mop-up level (correctness never depends on the iteration cap).
+    """
+    N = out.shape[0]
+    assert U <= (1 << 17)
+    tagged0 = (out & FAR_TAG) != 0
+    # 18-bit state (see _far_level_segmented): 3 gather planes, not 4
+    st = jnp.where(tagged0, (1 << 17) | (out & (FAR_TAG - 1)), out & 0x1FF)
+    jpos1 = jnp.broadcast_to(
+        jnp.arange(1, U + 1, dtype=jnp.int32)[None, :], (N, U))
+
+    def cond(state):
+        st, r = state
+        return jnp.any((st >> 17) == 1) & (r < max_iters)
+
+    def round_(state):
+        st, r = state
+        live = (st >> 17) == 1
+        (qp1, tg), valid = compact_monotone(
+            ~live, (jpos1, st & 0x1FFFF), keep=keep)
+        fetched = mxu_gather_rows(st, jnp.where(valid, tg, 0), nbits=18)
+        col = jnp.arange(keep, dtype=jnp.int32)[None, :]
+        shift = jnp.where(valid, qp1 - 1 - col, 0)
+        (vals,), placed = expand_monotone(~valid, (fetched,), shift, U)
+        return jnp.where(placed, vals, st), r + 1
+
+    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+    live = (st >> 17) == 1
+    return jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
 
 
 def _far_level_segmented(out, U, S, cap=None):
@@ -1148,8 +1254,14 @@ def _far_level_segmented(out, U, S, cap=None):
     Chains whose current source crosses a segment boundary stay tagged
     for the next level.  ``cap`` bounds the rounds on non-final levels:
     deeper in-segment chains simply escalate (correctness unaffected),
-    which beats paying diminishing-return rounds here."""
+    which beats paying diminishing-return rounds here.
+
+    State encoding: 18 bits — resolved byte (<= 9 bits) or
+    (1<<17) | absolute_source — so sources must fit 17 bits: U (and
+    every segment base + offset) must be <= 2^17.  Decoder entry points
+    enforce U <= 65536 (see codecs.*.make_decoder)."""
     N = out.shape[0]
+    assert U <= (1 << 17) and U % S == 0, (U, S)
     nseg = U // S
     NR = N * nseg
     tagged = ((out & FAR_TAG) != 0).reshape(NR, S)
