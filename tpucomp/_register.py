@@ -52,10 +52,24 @@ import os as _os
 
 if not _os.environ.get("TPUCOMP_NO_JAX"):
     from .codecs import lznt1 as _t_lznt1
+    from .codecs import xpress as _t_xpress
+    from .codecs import xpress_huff as _t_xh
 
     register(
         Format.LZNT1,
         "tpu",
         _t_lznt1.compress,
         _t_lznt1.decompress,
+    )
+    register(
+        Format.XPRESS,
+        "tpu",
+        _t_xpress.compress,
+        _t_xpress.decompress,
+    )
+    register(
+        Format.XPRESS_HUFF,
+        "tpu",
+        _t_xh.compress,
+        _t_xh.decompress,
     )

@@ -240,15 +240,21 @@ def encode_batch(chunks, clen):
         best_len = jnp.where(better, length, best_len)
         best_disp = jnp.where(better, disp, best_disp)
 
-    # exact small-displacement runs via ONE reverse scan (3 operands)
-    for d, ml in zip(_RUN_DISPS, run_matchlens(chunks, _RUN_DISPS)):
+    # exact small-displacement runs via ONE reverse scan (3 operands);
+    # effort knobs from tpucomp.config (read at trace time)
+    from ..config import DEFAULT as _CFG
+
+    run_disps = _CFG.match.run_disps
+    for d, ml in zip(run_disps, run_matchlens(chunks, run_disps)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
 
     # hash candidates, scored by capped word-compare
     w = le_words(chunks)
-    cands = hash_candidates(chunks, pos_bits=12, num_cands=3)
+    cands = hash_candidates(chunks, pos_bits=12,
+                            hash_bits=_CFG.match.hash_bits,
+                            num_cands=_CFG.match.num_candidates)
     cvalids = [c >= 0 for c in cands]
-    mls = multi_matchlens(w, cands, cvalids, n, cap=32)
+    mls = multi_matchlens(w, cands, cvalids, n, cap=_CFG.match.cap)
     for cand, valid, ml in zip(cands, cvalids, mls):
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 

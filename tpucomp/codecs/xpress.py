@@ -339,12 +339,16 @@ def _encode_impl(units, ulen, U):
         best_len = jnp.where(better, length, best_len)
         best_disp = jnp.where(better, disp, best_disp)
 
-    for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
+    from ..config import DEFAULT as _CFG
+
+    run_disps = _CFG.match.run_disps
+    for d, ml in zip(run_disps, run_matchlens(units, run_disps)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
     w = le_words(units)
-    cands = hash_candidates(units, num_cands=3)
+    cands = hash_candidates(units, hash_bits=_CFG.match.hash_bits,
+                            num_cands=_CFG.match.num_candidates)
     cvalids = [(c >= 0) & (pos - c <= WINDOW) for c in cands]
-    mls = multi_matchlens(w, cands, cvalids, n, cap=32)
+    mls = multi_matchlens(w, cands, cvalids, n, cap=_CFG.match.cap)
     for cand, valid, ml in zip(cands, cvalids, mls):
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
@@ -563,6 +567,51 @@ def _decode_bucket(streams, out_lens, unit_size, mode, jitter=None,
         out[i, : int(olen[i])].astype(np.uint8).tobytes()
         for i in range(len(streams))
     ]
+
+
+# --------------------------------------------------------------------------
+# One-shot device backend (registered as the "tpu" backend pair)
+# --------------------------------------------------------------------------
+
+_ONESHOT_UNITS = (4096, 16384, 65536)
+
+
+def _oneshot_unit(n: int) -> int:
+    for u in _ONESHOT_UNITS:
+        if n <= u:
+            return u
+    from ..errors import UnsupportedFormatError
+
+    # A plain Xpress stream is ONE sequential flag/nibble stream with no
+    # discoverable internal boundaries (SURVEY.md §5 long-context note),
+    # so one-shot buffers beyond the device unit cap are host work by
+    # format design — documented capability boundary, not a bug.
+    raise UnsupportedFormatError(
+        "XPRESS one-shot 'tpu' backend covers buffers <= 64 KiB (a plain "
+        "Xpress stream is a single sequential flag/nibble stream); use "
+        "backend='cpu'/'oracle' for larger one-shot buffers, or "
+        "compress_units / tpucomp.dist for device-batched segments")
+
+
+def compress(data: bytes) -> bytes:
+    """One-shot plain-Xpress compress on device (<= 64 KiB: one unit is
+    one standard [MS-XCA] §2.3 stream; larger raises — see
+    _oneshot_unit)."""
+    data = bytes(data)
+    if not data:
+        return b""
+    return compress_units([data], unit_size=_oneshot_unit(len(data)))[0]
+
+
+def decompress(data: bytes, out_len=None) -> bytes:
+    """One-shot plain-Xpress decompress on device (foreign single
+    streams <= 64 KiB; larger raises — see _oneshot_unit)."""
+    if out_len is None:
+        raise ArgError("Xpress decompression requires out_len")
+    if out_len == 0:
+        return b""
+    return decompress_units(
+        [bytes(data)], [out_len], unit_size=_oneshot_unit(out_len))[0]
 
 
 def decompress_units(streams, out_lens, unit_size=UNIT, jitter=None,

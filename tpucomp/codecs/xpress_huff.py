@@ -105,22 +105,31 @@ _P_ESC = 2  # need length-escape bytes (offset already read)
 
 
 def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
-                 jitter=None):
+                 jitter=None, want_span=False):
     if u > BLOCK:
         raise ArgError("XPRESS_HUFF units are single <= 64 KiB blocks")
 
     def dec(payload, plen, out_len):
-        return _decode_impl(payload, plen, out_len, u, substeps, mode, rank_cap)
+        return _decode_impl(payload, plen, out_len, u, substeps, mode,
+                            rank_cap, want_span)
 
     return (jitter or jax.jit)(dec)
 
 
 def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
-                 rank_cap=NUM_SYMBOLS):
+                 rank_cap=NUM_SYMBOLS, want_span=False):
     """mode selects the parse-scan backend: None = XLA lax.scan;
     "tpu" = Pallas kernel (kernels.xh_pallas); "interpret" = the same
     kernel in interpreter mode (CPU tests).  The record stream and the
-    fill/resolve tail are identical across backends."""
+    fill/resolve tail are identical across backends.
+
+    ``want_span`` (XLA scan only): additionally return the exact byte
+    span of the decoded block body per the writer's lazy-flush layout
+    (oracle ``_block_byte_span``: 2*(2 + max(0, ceil(bits/16)-1)) +
+    raw escape bytes) — the block-boundary discovery the one-shot
+    multi-block decode needs ([MS-XCA] §2.1: boundaries are only
+    discoverable by decoding)."""
+    assert not (want_span and mode is not None)
     N, P = payload.shape
     lengths = _unpack_table(payload)
     _, fc, br, lim = canonical_from_lengths(lengths)
@@ -178,7 +187,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
 
     def step(carry, xs):
         (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
-         len_acc, rpos, rval, err) = carry
+         len_acc, rpos, rval, err, bits_used, raw_used) = carry
         b, s = xs
         active = mk(s < blen) * mk(p < out_len)
 
@@ -192,6 +201,8 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
         is_e32d = active * mk(mode == _M_E32D)
 
         lowbyte = sel(is_w0, b, lowbyte)
+        # span accounting: every escape-role byte is a raw interleave byte
+        raw_used = raw_used + (is_eb | is_e16a | is_e16b | is_e32nd | is_e32d)
         # escape u16/u32 accumulation
         len_acc = sel(
             is_e16a | (active * mk(mode == _M_E32A)), b,
@@ -257,6 +268,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             offv = jnp.left_shift(1, obc_p) | raw
             bitbuf = sel(do_off, bitbuf << obc_p, bitbuf)
             bitcount = bitcount - do_off * obc_p
+            bits_used = bits_used + do_off * obc_p
             short = do_off * mk(lh_p < 15)
             mlen = lh_p + MIN_MATCH
             err = err | (short * (mk(offv > p) | mk(p + mlen > out_len)))
@@ -272,6 +284,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             do_sym = do_sym * found
             bitbuf = sel(do_sym, bitbuf << slen, bitbuf)
             bitcount = bitcount - do_sym * slen
+            bits_used = bits_used + do_sym * slen
             is_lit = do_sym * mk(sym < 256)
             rpos = sel(is_lit, p, rpos)
             rval = sel(is_lit, sym, rval)
@@ -311,7 +324,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
         rec_val_s = jnp.stack([r[1] for r in recs], axis=1)
         return (
             (p, mode, pend, bitbuf, bitcount, lowbyte, obc_p, lh_p, off_p,
-             len_acc, rpos, rval, err),
+             len_acc, rpos, rval, err, bits_used, raw_used),
             (rec_pos_s, rec_val_s),
         )
 
@@ -330,9 +343,11 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
         jnp.full((N,), -1, jnp.int32),  # rpos
         z,  # rval
         z,  # err (int mask)
+        z,  # bits_used
+        z,  # raw_used
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
-    p_final = carry[0]
+    p_final, errk, bits_used, raw_used = carry[0], carry[12], carry[13], carry[14]
 
     # [steps, N, NREC] -> [N, steps*NREC], chronological + monotone
     S, _, NREC = rec_pos_T.shape
@@ -340,8 +355,14 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
     rec_val = rec_val_T.transpose(1, 0, 2).reshape(N, S * NREC)
     keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
     keep = -(-keep // 128) * 128
-    return _records_to_output(rec_pos, rec_val, p_final, carry[-1],
-                              out_len, N, U, keep=keep)
+    out, err = _records_to_output(rec_pos, rec_val, p_final, errk,
+                                  out_len, N, U, keep=keep)
+    if not want_span:
+        return out, err
+    # oracle _block_byte_span: 2 priming words + lazy flushes + raws
+    flushes = jnp.maximum(0, -(-bits_used // 16) - 1)
+    span = 2 * (2 + flushes) + raw_used
+    return out, err, span
 
 
 # min code length guaranteed by each substep bucket (_substeps_for
@@ -425,12 +446,16 @@ def _encode_impl(units, ulen, U):
         best_len = jnp.where(better, length, best_len)
         best_disp = jnp.where(better, disp, best_disp)
 
-    for d, ml in zip(_RUN_DISPS, run_matchlens(units, _RUN_DISPS)):
+    from ..config import DEFAULT as _CFG
+
+    run_disps = _CFG.match.run_disps
+    for d, ml in zip(run_disps, run_matchlens(units, run_disps)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
     w = le_words(units)
-    cands = hash_candidates(units, num_cands=3)
+    cands = hash_candidates(units, hash_bits=_CFG.match.hash_bits,
+                            num_cands=_CFG.match.num_candidates)
     cvalids = [c >= 0 for c in cands]
-    mls = multi_matchlens(w, cands, cvalids, n, cap=32)
+    mls = multi_matchlens(w, cands, cvalids, n, cap=_CFG.match.cap)
     for cand, valid, ml in zip(cands, cvalids, mls):
         consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
 
@@ -760,3 +785,77 @@ def decompress_units(streams, out_lens, unit_size=BLOCK, jitter=None,
         for i, o in zip(idxs, outs):
             results[i] = o
     return results
+
+
+# --------------------------------------------------------------------------
+# One-shot device backend (registered as the "tpu" backend pair)
+# --------------------------------------------------------------------------
+
+
+def compress(data: bytes) -> bytes:
+    """One-shot XH compress on device (reference ``ms_compress``
+    semantics, SURVEY.md §2 row 1): 64 KiB blocks device-encoded in one
+    batch and concatenated — exactly the standard multi-block layout
+    ([MS-XCA] §2.1; the oracle writer emits the same block framing, so
+    any conforming decoder takes the result).  Matches are confined to
+    their block: valid streams, marginally larger near block starts
+    than a cross-block-window encoder."""
+    data = bytes(data)
+    if not data:
+        return b""
+    units = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
+    return b"".join(compress_units(units))
+
+
+_SPAN_DECODERS = {}
+
+
+def decompress(data: bytes, out_len=None) -> bytes:
+    """One-shot XH decompress on device: sequential block walk with
+    device decode + exact byte-span discovery per block (boundaries in
+    a multi-block stream are only discoverable by decoding —
+    [MS-XCA] §2.1).  Cross-block back-references (legal in foreign
+    streams; never emitted by this framework's encoders) are detected
+    and rejected with DataError — take backend="cpu"/"oracle" for
+    those.  Batched workloads should prefer decompress_units /
+    tpucomp.dist (block-parallel, manifest-framed)."""
+    data = bytes(data)
+    if out_len is None:
+        raise ArgError("XPRESS_HUFF decompression requires out_len")
+    if out_len == 0:
+        return b""
+    parts = []
+    off = 0
+    produced = 0
+    MP = max_payload(BLOCK)
+    while produced < out_len:
+        if off + 256 > len(data):
+            raise DataError("XpressHuff: stream ended before out_len bytes")
+        # bucket the slice width at 16 KiB so repeat calls reuse compiles
+        avail = min(MP, len(data) - off)
+        sb = max(1024, -(-(avail - 256) // 16384) * 16384)
+        P = min(MP, 256 + sb + 16)
+        rem = data[off : off + P]
+        block_out = min(BLOCK, out_len - produced)
+        ss = _substeps_for(_min_code_len([rem]))
+        if ss not in _SPAN_DECODERS:
+            _SPAN_DECODERS[ss] = make_decoder(BLOCK, ss, want_span=True)
+        N = pad_batch(1)
+        payload = np.zeros((N, P), np.int32)
+        a = np.frombuffer(rem, np.uint8)
+        payload[0, : len(a)] = a
+        plen = np.zeros(N, np.int32)
+        plen[0] = len(a)
+        olen = np.zeros(N, np.int32)
+        olen[0] = block_out
+        out, err, span = _SPAN_DECODERS[ss](
+            jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen))
+        if bool(np.asarray(err)[0]):
+            raise DataError(
+                "XpressHuff: malformed stream (or cross-block "
+                "back-reference; use backend='cpu' or 'oracle')")
+        parts.append(
+            np.asarray(out)[0, :block_out].astype(np.uint8).tobytes())
+        off += 256 + int(np.asarray(span)[0])
+        produced += block_out
+    return b"".join(parts)

@@ -15,19 +15,30 @@ from typing import Optional, Tuple
 
 @dataclass
 class MatchFinderConfig:
-    """Effort knobs for the shared TPU match finder (kernels/common.py)."""
+    """Effort knobs for the shared TPU match finder (kernels/common.py).
+
+    Read at TRACE time by the encoder impls (hash_candidates /
+    multi_matchlens / run_matchlens call sites): mutate
+    ``tpucomp.config.DEFAULT.match`` before the first encode of a given
+    unit size — jitted encoders cache per unit size and will not
+    retrace on later config changes.
+    """
 
     hash_bits: int = 13
-    num_candidates: int = 2  # same-hash candidates tried per position
-    cap: int = 16  # capped compare depth (bytes) for hash candidates
+    num_candidates: int = 3  # same-hash candidates tried per position
+    cap: int = 32  # capped compare depth (bytes) for hash candidates
     run_disps: Tuple[int, ...] = (1, 2, 3)  # exact small-displacement runs
 
 
 @dataclass
 class ResolveConfig:
-    """LZ copy-resolution knobs (kernels/common.resolve_copies)."""
+    """LZ copy-resolution knobs (kernels/common.resolve_copies*).
 
-    window: int = 256  # in-scan exact window; larger = fewer far rounds
+    window: in-scan exact window (larger = fewer far rounds; cost is
+    ~window ops per scan step).  512 is the measured sweet spot on the
+    bench corpus (~79% of copy bytes have d <= 512)."""
+
+    window: int = 512
 
 
 @dataclass

@@ -1106,7 +1106,17 @@ FAR_TAG = 1 << 24  # out-value tag: "pointer to earlier output position"
 RESOLVE_WINDOW = 512
 
 
-def resolve_copies_wide(is_copy, disp, litv, window=RESOLVE_WINDOW, unroll=16):
+def _resolve_window(window):
+    """Resolve the in-scan window knob: explicit arg > config.DEFAULT
+    (tpucomp.config.ResolveConfig.window, read at trace time)."""
+    if window is not None:
+        return window
+    from ..config import DEFAULT
+
+    return DEFAULT.resolve.window
+
+
+def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16):
     """resolve_copies for LONG rows (e.g. 64 KiB blocks): processes
     ``unroll`` output positions per scan step so the program has U/K steps
     and the window read is ONE batched [N, K, W] one-hot per step instead
@@ -1118,7 +1128,7 @@ def resolve_copies_wide(is_copy, disp, litv, window=RESOLVE_WINDOW, unroll=16):
     results are identical.
     """
     N, U = is_copy.shape
-    W = window
+    W = _resolve_window(window)
     K = unroll
     assert U % K == 0 and W % K == 0
     iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -1295,7 +1305,7 @@ def _far_level_segmented(out, U, S, cap=None):
     return res.reshape(N, U)
 
 
-def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
+def resolve_copies(is_copy, disp, litv, window=None):
     """Resolve LZ77 copy chains without gathers.
 
     Inputs are dense per-output-position arrays [N, U]: is_copy (bool),
@@ -1316,7 +1326,7 @@ def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
     rounds (the while_loop pays only what the batch needs).
     """
     N, U = is_copy.shape
-    W = window
+    W = _resolve_window(window)
     iota_w = jnp.arange(W, dtype=jnp.int32)[None, :]
 
     def step(win, xs):
@@ -1344,7 +1354,7 @@ def resolve_copies(is_copy, disp, litv, window=RESOLVE_WINDOW):
     # <= U/(window+1) far hops.  Corrupt streams (err-flagged upstream)
     # can form pointer cycles — the round cap guarantees termination;
     # leftover tags are zeroed (the caller rejects the row via err).
-    max_rounds = U // (window + 1) + 2
+    max_rounds = U // (W + 1) + 2
 
     def far_cond(state):
         out, r = state

@@ -13,7 +13,12 @@ BATCH_MULTIPLE = int(os.environ.get("TPUCOMP_BATCH_MULTIPLE", "256"))
 
 
 def pad_batch(n: int, mult: int | None = None) -> int:
-    m = mult or BATCH_MULTIPLE
+    if mult is None:
+        # runtime knob (tpucomp.config wires the env default)
+        from .config import DEFAULT
+
+        mult = DEFAULT.batch_multiple
+    m = mult
     while m < n:
         m *= 2
     return m
