@@ -212,18 +212,42 @@ def main():
         xh_nbytes = len(xh_data)
         U = xh.BLOCK
         units = [xh_data[i : i + U] for i in range(0, xh_nbytes, U)]
-        # device encode in fixed slices: one [XH_ENC_BLOCKS, U] compile,
-        # reused (a whole-corpus batch would be a fresh giant compile)
-        streams = []
-        for i in range(0, len(units), XH_ENC_BLOCKS):
-            streams += xh.compress_units(units[i : i + XH_ENC_BLOCKS])
+        # encode batch-width ladder (the remote compile helper has hung
+        # on the widest encode programs — same mitigation as LZNT1)
+        NE = None
+        for cand in (XH_ENC_BLOCKS, XH_ENC_BLOCKS // 2, XH_ENC_BLOCKS // 4):
+            try:
+                z = jnp.zeros((cand, U), jnp.int32)
+                zl = jnp.full((cand,), U, jnp.int32)
+                jax.block_until_ready(
+                    jax.jit(lambda c, l: xh._encode_impl(c, l, U))(z, zl))
+                NE = cand
+                break
+            except Exception as e:
+                print(f"# xh NE={cand} encode compile failed: {e}"[:200],
+                      file=sys.stderr)
+        if NE is None:
+            raise RuntimeError("no XH encode batch width compiles")
+        extras["xh_enc_batch"] = NE
+        # device encode in fixed slices: one [NE, U] compile, reused (a
+        # whole-corpus batch would be a fresh giant compile)
+        from tpucomp.config import DEFAULT as _CFG
+
+        old_bm = _CFG.batch_multiple
+        _CFG.batch_multiple = NE  # pad_batch(NE) == NE: reuse the compile
+        try:
+            streams = []
+            for i in range(0, len(units), NE):
+                streams += xh.compress_units(units[i : i + NE])
+        finally:
+            _CFG.batch_multiple = old_bm
         xh_bytes = sum(len(s) for s in streams)
         out_parts = xh.decompress_units(streams, [len(u) for u in units])
         assert b"".join(out_parts) == xh_data, "xh roundtrip mismatch"
         extras["xh_ratio"] = round(xh_bytes / xh_nbytes, 4)
 
         # timed encode (one slice; decode is the headline path)
-        enc_units = units[:XH_ENC_BLOCKS]
+        enc_units = units[:NE]
         enc_bytes = sum(len(u) for u in enc_units)
         NB = max(8, len(enc_units))
         ub = np.zeros((NB, U), np.int32)

@@ -429,22 +429,29 @@ def compact_monotone(empty, operands, keep=None):
     # rem_i = #empties before entry i (= its total left shift); -1 = empty
     rem = jnp.where(empty, -1, jnp.cumsum(e, axis=1))
     nb = max(1, (R - 1).bit_length())
+    cols = jnp.arange(R, dtype=jnp.int32)[None, :]
 
-    def shift_left(x, sh, fill):
-        return jnp.concatenate(
-            [x[:, sh:], jnp.full((N, sh), fill, x.dtype)], axis=1)
+    # ONE pass instance via fori_loop (not nb unrolled passes): the pass
+    # body on wide arrays is a large subgraph, and nb copies of it made
+    # compile cost/program size the bottleneck (remote-AOT hang at batch
+    # widths; XLA:CPU compiler crashes in long suite runs).  Dynamic
+    # shifts use roll + edge masking.
+    def shl(x, sh, fill):
+        return jnp.where(cols < R - sh, jnp.roll(x, -sh, axis=1), fill)
 
-    for b in range(nb):
-        sh = 1 << b
-        rem_s = shift_left(rem, sh, -1)
+    def body(b, state):
+        rem, ops = state
+        sh = jnp.left_shift(jnp.int32(1), b)
+        rem_s = shl(rem, sh, -1)
         move_in = (rem_s >= 0) & ((rem_s & sh) != 0)
         stay = (rem >= 0) & ((rem & sh) == 0)
-        new_ops = []
-        for o in ops:
-            o_s = shift_left(o, sh, 0)
-            new_ops.append(jnp.where(move_in, o_s, jnp.where(stay, o, 0)))
-        ops = tuple(new_ops)
+        ops = tuple(
+            jnp.where(move_in, shl(o, sh, 0), jnp.where(stay, o, 0))
+            for o in ops)
         rem = jnp.where(move_in, rem_s - sh, jnp.where(stay, rem, -1))
+        return rem, ops
+
+    rem, ops = lax.fori_loop(0, nb, body, (rem, ops))
     valid = rem >= 0
     if keep is not None:
         ops = tuple(o[:, :keep] for o in ops)
@@ -472,21 +479,26 @@ def expand_monotone(empty, operands, shift, width):
         shift = jnp.pad(shift, pad)
     rem = jnp.where(empty, -1, shift)
     nb = max(1, (width - 1).bit_length())
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
 
-    def shift_right(x, sh, fill):
-        return jnp.concatenate(
-            [jnp.full((N, sh), fill, x.dtype), x[:, :-sh]], axis=1)
+    # ONE pass instance via fori_loop, MSB->LSB (see compact_monotone on
+    # why: program size, not FLOPs, was the cost)
+    def shr(x, sh, fill):
+        return jnp.where(cols >= sh, jnp.roll(x, sh, axis=1), fill)
 
-    for b in reversed(range(nb)):
-        sh = 1 << b
-        rem_s = shift_right(rem, sh, -1)
+    def body(i, state):
+        rem, ops = state
+        sh = jnp.left_shift(jnp.int32(1), nb - 1 - i)
+        rem_s = shr(rem, sh, -1)
         move_in = (rem_s >= 0) & ((rem_s & sh) != 0)
         stay = (rem >= 0) & ((rem & sh) == 0)
         ops = tuple(
-            jnp.where(move_in, shift_right(o, sh, 0),
-                      jnp.where(stay, o, 0))
+            jnp.where(move_in, shr(o, sh, 0), jnp.where(stay, o, 0))
             for o in ops)
         rem = jnp.where(move_in, rem_s - sh, jnp.where(stay, rem, -1))
+        return rem, ops
+
+    rem, ops = lax.fori_loop(0, nb, body, (rem, ops))
     return ops, rem == 0
 
 
