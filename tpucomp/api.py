@@ -118,17 +118,23 @@ def _lznt1_batch(units):
 class Compressor:
     """Streaming compressor (reference: ``ms_deflate_init/ms_deflate/...``).
 
-    Host-driven incremental feed (SURVEY.md §2 row 11): input is buffered to
-    the format's natural unit (LZNT1: 4 KiB chunk; Xpress-Huff: 64 KiB
-    block; plain Xpress: configurable segment) and each complete unit is
-    compressed independently.  ``flush()`` compresses any partial tail.
+    Host-driven incremental feed (SURVEY.md §2 row 11) with the match
+    window CARRIED across ``compress()`` calls for the Xpress formats
+    (reference ``ms_deflate`` semantics, SURVEY.md §3.5): matches cross
+    feed boundaries, and the concatenated output is ONE standard stream
+    of the format — decode it one-shot or with :class:`Decompressor`
+    given the total uncompressed size.  For XPRESS_HUFF the streamed
+    bytes are bit-identical to one-shot ``oracle.compress(data,
+    cross_block=True)`` regardless of feed slicing (64 KiB block
+    granularity); for XPRESS they match one-shot ``compress`` except
+    across pathological multi-megabyte matches (see
+    ``oracle.xpress.StreamCompressor``).  LZNT1 is chunk-local by
+    format design: units are compressed as they fill, and 4096-multiple
+    feeds give bytes identical to one-shot.
 
-    Note: unit-at-a-time streaming means matches never cross fed-unit
-    boundaries for Xpress formats (valid streams, marginally larger than
-    one-shot compression of the same data — LZNT1 is unit-local by design).
-    For plain Xpress this streaming mode is *self-delimiting per segment
-    only*; decompression of the concatenated stream must use a Decompressor
-    fed with the same segment size.
+    The window-carry engines are the host (oracle) encoders — streaming
+    is inherently sequential; device-batched work should use
+    :func:`compress_batch` / :mod:`tpucomp.dist` instead.
     """
 
     _UNIT = {
@@ -146,6 +152,15 @@ class Compressor:
             raise ArgError("LZNT1 streaming unit must be a multiple of 4096")
         if self.fmt == Format.XPRESS_HUFF and self.unit_size % 65536 != 0:
             raise ArgError("XPRESS_HUFF streaming unit must be a multiple of 64 KiB")
+        self._engine = None
+        if self.fmt == Format.XPRESS:
+            from .oracle.xpress import StreamCompressor as _SC
+
+            self._engine = _SC()
+        elif self.fmt == Format.XPRESS_HUFF:
+            from .oracle.xpress_huff import StreamCompressor as _SC
+
+            self._engine = _SC()
         self._buf = bytearray()
         self._finished = False
         self.total_in = 0
@@ -154,8 +169,12 @@ class Compressor:
     def compress(self, data: bytes) -> bytes:
         if self._finished:
             raise ArgError("compressor already flushed")
-        self._buf += bytes(data)
         self.total_in += len(data)
+        if self._engine is not None:
+            out = self._engine.compress(bytes(data))
+            self.total_out += len(out)
+            return out
+        self._buf += bytes(data)
         out = bytearray()
         while len(self._buf) >= self.unit_size:
             unit = bytes(self._buf[: self.unit_size])
@@ -168,6 +187,10 @@ class Compressor:
         if self._finished:
             return b""
         self._finished = True
+        if self._engine is not None:
+            out = self._engine.flush()
+            self.total_out += len(out)
+            return out
         out = b""
         if self._buf:
             out = self._compress(bytes(self._buf))
@@ -179,27 +202,50 @@ class Compressor:
 class Decompressor:
     """Streaming decompressor (reference: ``ms_inflate_init/ms_inflate/...``).
 
-    For LZNT1 the stream is self-delimiting at chunk granularity: feed
-    arbitrary byte slices; complete chunks are emitted as they arrive.  For
-    the Xpress formats the caller must supply ``unit_out_lens`` — the
-    uncompressed length of each streamed unit (mirroring the reference,
-    where the caller always knows the uncompressed size).
+    Feed ARBITRARY byte slices of one standard stream; decoded bytes are
+    emitted as soon as their tokens/chunks/blocks complete.  LZNT1 is
+    self-delimiting (no size needed); the Xpress formats carry no size
+    header, so pass ``out_len`` — the total uncompressed size (same
+    contract as one-shot, mirroring the reference where the caller always
+    knows it).  Cross-block/feed back-references resolve against the
+    carried window.
+
+    ``unit_out_lens`` + :meth:`decompress_unit` remain for
+    manifest-framed unit streams (:mod:`tpucomp.dist` archives), where
+    each unit is an independent stream.
     """
 
-    def __init__(self, fmt, *, backend: str = "auto", unit_out_lens=None):
+    def __init__(self, fmt, *, backend: str = "auto", out_len=None,
+                 unit_out_lens=None):
         self.fmt = formats.canonical(fmt)
         entry = formats.lookup(self.fmt)
         _, self._decompress = entry.get(_resolve_backend(entry, backend))
         self._buf = bytearray()
         self.total_in = 0
         self.total_out = 0
-        if self.fmt != Format.LZNT1 and unit_out_lens is None:
+        self._engine = None
+        if self.fmt == Format.XPRESS and out_len is not None:
+            from .oracle.xpress import StreamDecompressor as _SD
+
+            self._engine = _SD(out_len)
+        elif self.fmt == Format.XPRESS_HUFF and out_len is not None:
+            from .oracle.xpress_huff import StreamDecompressor as _SD
+
+            self._engine = _SD(out_len)
+        if (self.fmt != Format.LZNT1 and out_len is None
+                and unit_out_lens is None):
             raise ArgError(
-                f"{self.fmt.name} streaming decompression requires unit_out_lens"
+                f"{self.fmt.name} streaming decompression requires out_len "
+                "(standard stream) or unit_out_lens (unit-framed feed)"
             )
         self._unit_out_lens = list(unit_out_lens or [])
 
     def decompress(self, data: bytes) -> bytes:
+        if self._engine is not None:
+            out = self._engine.decompress(bytes(data))
+            self.total_in += len(data)
+            self.total_out += len(out)
+            return out
         self._buf += bytes(data)
         self.total_in += len(data)
         out = bytearray()
@@ -218,8 +264,8 @@ class Decompressor:
                 out += self._decompress(chunk, None)
         else:
             raise ArgError(
-                "Xpress streaming decode requires unit-delimited feed; "
-                "use decompress_unit()"
+                "Xpress streaming decode without out_len requires "
+                "unit-delimited feed; use decompress_unit()"
             )
         self.total_out += len(out)
         return bytes(out)
@@ -235,6 +281,8 @@ class Decompressor:
         return out
 
     def flush(self) -> bytes:
+        if self._engine is not None:
+            return self._engine.flush()
         if self.fmt == Format.LZNT1 and self._buf:
             out = self._decompress(bytes(self._buf), None)
             self._buf.clear()

@@ -105,9 +105,22 @@ _P_ESC = 2  # need length-escape bytes (offset already read)
 
 
 def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
-                 jitter=None, want_span=False):
+                 jitter=None, want_span=False, with_history=False):
     if u > BLOCK:
         raise ArgError("XPRESS_HUFF units are single <= 64 KiB blocks")
+
+    if with_history:
+        # history variant (XLA path only): hist [N, 64 KiB] = the last
+        # already-decoded output bytes before this block, hist_len [N] =
+        # how many are valid; back-references may reach hist_len bytes
+        # before the block start ([MS-XCA] §2.1 cross-block window)
+        assert mode is None
+
+        def dech(payload, plen, out_len, hist, hist_len):
+            return _decode_impl(payload, plen, out_len, u, substeps, mode,
+                                rank_cap, want_span, hist, hist_len)
+
+        return (jitter or jax.jit)(dech)
 
     def dec(payload, plen, out_len):
         return _decode_impl(payload, plen, out_len, u, substeps, mode,
@@ -117,7 +130,8 @@ def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
 
 
 def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
-                 rank_cap=NUM_SYMBOLS, want_span=False):
+                 rank_cap=NUM_SYMBOLS, want_span=False,
+                 hist=None, hist_len=None):
     """mode selects the parse-scan backend: None = XLA lax.scan;
     "tpu" = Pallas kernel (kernels.xh_pallas); "interpret" = the same
     kernel in interpreter mode (CPU tests).  The record stream and the
@@ -149,6 +163,10 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
 
     iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
     iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
+
+    # cross-block window: offsets may reach hist_len bytes before the
+    # block start (0 without history — block-confined refs only)
+    hl = jnp.zeros(N, jnp.int32) if hist_len is None else hist_len
 
     body = payload[:, 256:]
     bytes_T = body.T
@@ -231,7 +249,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             + e32_done * (u32v + MIN_MATCH)
         )
         esc_match = eb_done | e16_done | e32_done
-        err = err | (esc_match * (mk(off_p > p) | mk(p + esc_len > out_len)))
+        err = err | (esc_match * (mk(off_p > p + hl) | mk(p + esc_len > out_len)))
         rpos = sel(esc_match, p, rpos)
         rval = sel(esc_match, _COPY_BIT | off_p, rval)
         p = sel(esc_match, jnp.minimum(p + esc_len, U), p)
@@ -271,7 +289,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
             bits_used = bits_used + do_off * obc_p
             short = do_off * mk(lh_p < 15)
             mlen = lh_p + MIN_MATCH
-            err = err | (short * (mk(offv > p) | mk(p + mlen > out_len)))
+            err = err | (short * (mk(offv > p + hl) | mk(p + mlen > out_len)))
             rpos = sel(short, p, rpos)
             rval = sel(short, _COPY_BIT | offv, rval)
             p = sel(short, jnp.minimum(p + mlen, U), p)
@@ -356,7 +374,7 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
     keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
     keep = -(-keep // 128) * 128
     out, err = _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U, keep=keep)
+                                  out_len, N, U, keep=keep, hist=hist)
     if not want_span:
         return out, err
     # oracle _block_byte_span: 2 priming words + lazy flushes + raws
@@ -372,11 +390,15 @@ _BUCKET_MCL = {3: 8, 5: 4, 9: 2, 17: 1}
 
 
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
-                       mode=None, keep=None):
+                       mode=None, keep=None, hist=None):
     """Shared decode tail: monotone token records -> output bytes.
     Records with key >= queries' range (sentinels) never bind.
     ``keep``: sound bound on real records per row — the fill dedupes and
-    compacts the raw slot stream to it (overflow -> err)."""
+    compacts the raw slot stream to it (overflow -> err).
+    ``hist`` [N, HU]: already-decoded bytes preceding the block — the
+    resolve runs over the concatenated [hist | block] row so copies may
+    reach into history ([MS-XCA] §2.1 cross-block window; HU + U must
+    stay <= 2^17, the far-round source-field width)."""
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     vpack, tokpos, ovf = fill_records_delta2(rec_pos, rec_val, U, keep=keep)
     err = (errk | ovf | (p_final < out_len).astype(jnp.int32)) != 0
@@ -392,6 +414,17 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
     disp_j = jnp.where(
         is_copy_j & (rel >= dispc), rel - lax.rem(rel, dispc), disp_j)
     litv = jnp.where(is_copy_j, 0, vpack & 0x1FF)
+    if hist is not None:
+        HU = hist.shape[1]
+        assert HU + U <= (1 << 17) and (HU + U) % 16 == 0
+        is_copy_c = jnp.concatenate(
+            [jnp.zeros((N, HU), bool), is_copy_j], axis=1)
+        disp_c = jnp.concatenate(
+            [jnp.zeros((N, HU), jnp.int32), disp_j], axis=1)
+        lit_c = jnp.concatenate([hist & 0xFF, litv], axis=1)
+        out = resolve_copies_wide(is_copy_c, disp_c, lit_c)[:, HU:]
+        out = jnp.where(j < out_len[:, None], out, 0)
+        return out, err
     if mode is not None and U % 128 == 0:
         from ..kernels import resolve_pallas
 
@@ -815,10 +848,13 @@ def decompress(data: bytes, out_len=None) -> bytes:
     device decode + exact byte-span discovery per block (boundaries in
     a multi-block stream are only discoverable by decoding —
     [MS-XCA] §2.1).  Cross-block back-references (legal in foreign
-    streams; never emitted by this framework's encoders) are detected
-    and rejected with DataError — take backend="cpu"/"oracle" for
-    those.  Batched workloads should prefer decompress_units /
-    tpucomp.dist (block-parallel, manifest-framed)."""
+    streams) resolve against a carried 64 KiB history window, so
+    streams from any conforming encoder decode here.  Matches whose
+    OUTPUT extent overruns a 64 KiB block boundary (no known encoder
+    emits these; block framing after one is spec-ambiguous) are
+    rejected with DataError — take backend="cpu"/"oracle".  Batched
+    workloads should prefer decompress_units / tpucomp.dist
+    (block-parallel, manifest-framed)."""
     data = bytes(data)
     if out_len is None:
         raise ArgError("XPRESS_HUFF decompression requires out_len")
@@ -827,6 +863,7 @@ def decompress(data: bytes, out_len=None) -> bytes:
     parts = []
     off = 0
     produced = 0
+    tail = b""  # last <= 64 KiB of produced output (the reach-back window)
     MP = max_payload(BLOCK)
     while produced < out_len:
         if off + 256 > len(data):
@@ -839,7 +876,8 @@ def decompress(data: bytes, out_len=None) -> bytes:
         block_out = min(BLOCK, out_len - produced)
         ss = _substeps_for(_min_code_len([rem]))
         if ss not in _SPAN_DECODERS:
-            _SPAN_DECODERS[ss] = make_decoder(BLOCK, ss, want_span=True)
+            _SPAN_DECODERS[ss] = make_decoder(BLOCK, ss, want_span=True,
+                                              with_history=True)
         N = pad_batch(1)
         payload = np.zeros((N, P), np.int32)
         a = np.frombuffer(rem, np.uint8)
@@ -848,14 +886,23 @@ def decompress(data: bytes, out_len=None) -> bytes:
         plen[0] = len(a)
         olen = np.zeros(N, np.int32)
         olen[0] = block_out
+        # history right-aligned: hist[BLOCK - k] = output[-k]
+        hist = np.zeros((N, BLOCK), np.int32)
+        if tail:
+            t = np.frombuffer(tail, np.uint8)
+            hist[0, BLOCK - len(t):] = t
+        hlen = np.zeros(N, np.int32)
+        hlen[0] = len(tail)
         out, err, span = _SPAN_DECODERS[ss](
-            jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen))
+            jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen),
+            jnp.asarray(hist), jnp.asarray(hlen))
         if bool(np.asarray(err)[0]):
             raise DataError(
-                "XpressHuff: malformed stream (or cross-block "
-                "back-reference; use backend='cpu' or 'oracle')")
-        parts.append(
-            np.asarray(out)[0, :block_out].astype(np.uint8).tobytes())
+                "XpressHuff: malformed stream (or a match overrunning a "
+                "64 KiB block boundary; use backend='cpu' or 'oracle')")
+        block = np.asarray(out)[0, :block_out].astype(np.uint8).tobytes()
+        parts.append(block)
+        tail = (tail + block)[-BLOCK:]
         off += 256 + int(np.asarray(span)[0])
         produced += block_out
     return b"".join(parts)

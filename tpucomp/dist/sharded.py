@@ -218,25 +218,42 @@ class ShardedCodec:
                     out.append((0x3000 | (cl - 1)).to_bytes(2, "little") + ud)
             return out
         else:
-            # each unit stream is a 1-chunk LZNT1 stream
-            N = self._pad(len(units))
+            # Each unit stream is a standard LZNT1 stream — possibly a
+            # FOREIGN multi-chunk one.  [MS-XCA] §2.5 headers are
+            # self-framing (payload_len-1 in bits 0-11), so split every
+            # unit into its chunks on host, decode ALL chunks in one
+            # batch, and reassemble per unit.  A 0x0000 header (or end
+            # of data) terminates a unit's stream.
+            chunks = []  # (unit_idx, body_offset, body_len, is_comp)
+            for i, s in enumerate(units):
+                off = 0
+                while off + 2 <= len(s):
+                    header = s[off] | (s[off + 1] << 8)
+                    if header == 0:
+                        break
+                    size = (header & 0xFFF) + 1
+                    if off + 2 + size > len(s):
+                        raise ArgError("LZNT1: truncated chunk in unit")
+                    chunks.append((i, off + 2, size, bool(header & 0x8000)))
+                    off += 2 + size
+            N = self._pad(len(chunks))
             payload = np.zeros((N, m.PAYLOAD_PAD), np.int32)
             plen = np.zeros(N, np.int32)
             is_comp = np.zeros(N, bool)
-            for i, s in enumerate(units):
-                header = s[0] | (s[1] << 8)
-                body = np.frombuffer(s[2:], np.uint8)
-                payload[i, : len(body)] = body
-                plen[i] = len(body)
-                is_comp[i] = bool(header & 0x8000)
+            for k, (i, boff, size, comp) in enumerate(chunks):
+                body = np.frombuffer(units[i][boff : boff + size], np.uint8)
+                payload[k, :size] = body
+                plen[k] = size
+                is_comp[k] = comp
             out, out_lens, err = self._lznt1_jit(False)(
                 jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(is_comp)
             )
             out = _host_gather(out)
             out_lens = _host_gather(out_lens)
-            if _host_gather(err)[: len(units)].any():
+            if _host_gather(err)[: len(chunks)].any():
                 raise ArgError("LZNT1: malformed unit")
-            return [
-                out[i, : int(out_lens[i])].astype(np.uint8).tobytes()
-                for i in range(len(units))
-            ]
+            parts = [[] for _ in units]
+            for k, (i, _, _, _) in enumerate(chunks):
+                parts[i].append(
+                    out[k, : int(out_lens[k])].astype(np.uint8).tobytes())
+            return [b"".join(p) for p in parts]

@@ -190,20 +190,27 @@ def _log2_floor(v: int) -> int:
     return v.bit_length() - 1
 
 
-def _lz_parse(data: bytes, start: int, end: int, *, max_chain: int = 96):
-    """Greedy LZ77 parse of data[start:end] (window confined to the block).
+def _lz_parse(data: bytes, start: int, end: int, *, max_chain: int = 96,
+              table=None):
+    """Greedy LZ77 parse of data[start:end].
+
+    The window is confined to the block unless ``table`` is passed in
+    (persistent across blocks): then matches reach up to MAX_OFFSET
+    back across block boundaries ([MS-XCA] §2.1 cross-block window).
+    Match OUTPUT extents stay block-confined either way.
 
     Yields tokens: (literal_byte, -1, -1) or (-1, length, offset).
     """
     tokens = []
-    table: dict = {}
+    if table is None:
+        table = {}
     pos = start
     n = end
     while pos < n:
         best_len = 0
         best_off = 0
         if pos + MIN_MATCH <= n:
-            key = data[pos : pos + 3]
+            key = bytes(data[pos : pos + 3])
             chain = table.get(key, ())
             tried = 0
             for cand in reversed(chain):
@@ -226,12 +233,12 @@ def _lz_parse(data: bytes, start: int, end: int, *, max_chain: int = 96):
             stop = min(pos + best_len, n - 2)
             step = 1 if best_len < 1024 else best_len
             for q in range(pos, stop, step):
-                table.setdefault(data[q : q + 3], []).append(q)
+                table.setdefault(bytes(data[q : q + 3]), []).append(q)
             pos += best_len
         else:
             tokens.append((data[pos], -1, -1))
             if pos + 3 <= n:
-                table.setdefault(data[pos : pos + 3], []).append(pos)
+                table.setdefault(bytes(data[pos : pos + 3]), []).append(pos)
             pos += 1
     return tokens
 
@@ -242,54 +249,189 @@ def _match_symbol(length: int, offset: int) -> int:
     return 256 + ((obc << 4) | lh)
 
 
-def compress(data: bytes, *, max_chain: int = 96) -> bytes:
-    """Compress ``data`` as a sequence of independent 64 KiB Huffman blocks."""
+def compress(data: bytes, *, max_chain: int = 96,
+             cross_block: bool = False) -> bytes:
+    """Compress ``data`` as a sequence of 64 KiB Huffman blocks.
+
+    ``cross_block=True``: matches reach up to 65535 back ACROSS block
+    boundaries ([MS-XCA] §2.1 — the reference encoder's window), giving
+    better ratios near block starts; False (default) confines matches
+    to their block, matching the TPU block-parallel encoder bit-for-bit
+    test expectations.  Both emit standard streams; this module's
+    decompress (and the TPU one-shot decode's history window) take
+    either."""
     data = bytes(data)
     out = bytearray()
     n = len(data)
+    shared_table: dict = {} if cross_block else None
     nblocks = max(1, (n + BLOCK_SIZE - 1) // BLOCK_SIZE)
     for bi in range(nblocks):
         start = bi * BLOCK_SIZE
         end = min(start + BLOCK_SIZE, n)
-        tokens = _lz_parse(data, start, end, max_chain=max_chain)
-        # --- histogram over 512 symbols ---
-        freqs = [0] * NUM_SYMBOLS
-        for lit, length, off in tokens:
-            if lit >= 0:
-                freqs[lit] += 1
-            else:
-                freqs[_match_symbol(length, off)] += 1
-        lengths = package_merge(freqs, MAX_CODE_LEN)
-        codes = canonical_codes(lengths)
-        # --- 256-byte nibble-packed table ---
-        for i in range(256):
-            lo = lengths[2 * i]
-            hi = lengths[2 * i + 1]
-            out.append(lo | (hi << 4))
-        # --- bitstream ---
-        bw = _BitWriter(out)
-        for lit, length, off in tokens:
-            if lit >= 0:
-                bw.write_bits(codes[lit], lengths[lit])
-            else:
-                sym = _match_symbol(length, off)
-                bw.write_bits(codes[sym], lengths[sym])
-                obc = _log2_floor(off)
-                bw.write_bits(off & ((1 << obc) - 1), obc)
-                L = length - MIN_MATCH
-                if L >= 15:
-                    rem = L - 15
-                    if rem < 255:
-                        bw.write_byte(rem)
-                    else:
-                        bw.write_byte(255)
-                        if 0 < L < 0x10000:
-                            bw.write_u16(L)
-                        else:
-                            bw.write_u16(0)
-                            bw.write_u32(L)
-        bw.flush()
+        _compress_block(data, start, end, out, max_chain=max_chain,
+                        table=shared_table)
     return bytes(out)
+
+
+def _compress_block(data, start, end, out: bytearray, *, max_chain=96,
+                    table=None):
+    """Encode data[start:end] as one Huffman block appended to ``out``
+    (table + bitstream); ``table`` as in :func:`_lz_parse`."""
+    tokens = _lz_parse(data, start, end, max_chain=max_chain, table=table)
+    # --- histogram over 512 symbols ---
+    freqs = [0] * NUM_SYMBOLS
+    for lit, length, off in tokens:
+        if lit >= 0:
+            freqs[lit] += 1
+        else:
+            freqs[_match_symbol(length, off)] += 1
+    lengths = package_merge(freqs, MAX_CODE_LEN)
+    codes = canonical_codes(lengths)
+    # --- 256-byte nibble-packed table ---
+    for i in range(256):
+        lo = lengths[2 * i]
+        hi = lengths[2 * i + 1]
+        out.append(lo | (hi << 4))
+    # --- bitstream ---
+    bw = _BitWriter(out)
+    for lit, length, off in tokens:
+        if lit >= 0:
+            bw.write_bits(codes[lit], lengths[lit])
+        else:
+            sym = _match_symbol(length, off)
+            bw.write_bits(codes[sym], lengths[sym])
+            obc = _log2_floor(off)
+            bw.write_bits(off & ((1 << obc) - 1), obc)
+            L = length - MIN_MATCH
+            if L >= 15:
+                rem = L - 15
+                if rem < 255:
+                    bw.write_byte(rem)
+                else:
+                    bw.write_byte(255)
+                    if 0 < L < 0x10000:
+                        bw.write_u16(L)
+                    else:
+                        bw.write_u16(0)
+                        bw.write_u32(L)
+    bw.flush()
+
+
+class StreamCompressor:
+    """Incremental XH encoder with the cross-block match window carried
+    across feeds (reference ``ms_deflate`` semantics, SURVEY.md §3.5).
+
+    Output is bit-identical to one-shot ``compress(data,
+    cross_block=True)`` for ANY feed slicing: the format's 64 KiB block
+    granularity makes the parse independent of where feeds land (each
+    complete block is emitted as soon as it is buffered; ``flush()``
+    emits the partial final block).
+    """
+
+    def __init__(self, *, max_chain: int = 96, cross_block: bool = True):
+        self.max_chain = max_chain
+        self._table: dict = {} if cross_block else None
+        self._data = bytearray()
+        self._start = 0  # start of the next block within _data
+        self._finished = False
+        self.total_in = 0
+
+    def compress(self, chunk: bytes) -> bytes:
+        if self._finished:
+            raise ArgError("compressor already flushed")
+        self._data += bytes(chunk)
+        self.total_in += len(chunk)
+        out = bytearray()
+        while len(self._data) - self._start >= BLOCK_SIZE:
+            _compress_block(self._data, self._start,
+                            self._start + BLOCK_SIZE, out,
+                            max_chain=self.max_chain, table=self._table)
+            self._start += BLOCK_SIZE
+            self._rebase()
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        if self._finished:
+            return b""
+        self._finished = True
+        out = bytearray()
+        if len(self._data) > self._start or self.total_in == 0:
+            _compress_block(self._data, self._start, len(self._data), out,
+                            max_chain=self.max_chain, table=self._table)
+        return bytes(out)
+
+    def _rebase(self):
+        """Keep one window (64 KiB) behind the next block; memory stays
+        O(window + unparsed tail)."""
+        cut = self._start - MAX_OFFSET - 1
+        if cut < (1 << 20):
+            return
+        if self._table is not None:
+            self._table = {
+                k: [c - cut for c in ch if c >= cut]
+                for k, ch in self._table.items()
+                if ch and ch[-1] >= cut
+            }
+        del self._data[:cut]
+        self._start -= cut
+
+
+def _decode_block(data, pos: int, out: bytearray, out_len: int):
+    """Decode ONE block starting at data[pos], appending to ``out``
+    (which holds the preceding output — the cross-block reach-back
+    window).  ``out_len``: total output target (blocks end at 64 KiB
+    boundaries of it).  Returns the next block's ``pos``.
+
+    Raises DataError on malformed input.  The bit reader zero-fills
+    past the end of ``data``, so on a TRUNCATED buffer this may decode
+    garbage without raising — callers that stream must check the
+    returned span against the bytes actually available (see
+    :class:`StreamDecompressor`)."""
+    if pos + 256 > len(data):
+        raise DataError("XpressHuff: truncated Huffman table")
+    lengths = [0] * NUM_SYMBOLS
+    for i in range(256):
+        b = data[pos + i]
+        lengths[2 * i] = b & 0xF
+        lengths[2 * i + 1] = b >> 4
+    pos += 256
+    if not any(lengths):
+        raise DataError("XpressHuff: empty Huffman table")
+    table = build_decode_table(lengths, MAX_CODE_LEN)
+    br = _BitReader(data, pos)
+    block_end = min(len(out) + BLOCK_SIZE, out_len)
+    while len(out) < block_end:
+        entry = table[br.peek(MAX_CODE_LEN)]
+        if entry < 0:
+            raise DataError("XpressHuff: invalid Huffman code")
+        sym = entry >> 4
+        br.skip(entry & 0xF)
+        if sym < 256:
+            out.append(sym)
+            continue
+        m = sym - 256
+        obc = m >> 4
+        L = m & 0xF
+        offset = (1 << obc) | br.read_bits(obc)
+        if L == 15:
+            b = br.read_byte()
+            if b == 255:
+                L = br.read_u16_raw()
+                if L == 0:
+                    L = br.read_u32_raw()
+            else:
+                L = b + 15
+        length = L + MIN_MATCH
+        if offset > len(out):
+            raise DataError("XpressHuff: offset before start of output")
+        if len(out) + length > out_len:
+            raise DataError("XpressHuff: match overruns output size")
+        for _ in range(length):
+            out.append(out[-offset])
+    # Next block's table starts byte-aligned after the writer's exact
+    # layout (NOT br.pos, which may lag the writer by one un-refilled
+    # word when bits_consumed is a multiple of 16).
+    return pos + _block_byte_span(br.bits_consumed, br.raw_bytes_consumed)
 
 
 def decompress(data: bytes, out_len: int) -> bytes:
@@ -300,49 +442,60 @@ def decompress(data: bytes, out_len: int) -> bytes:
     out = bytearray()
     pos = 0
     while len(out) < out_len:
-        if pos + 256 > len(data):
-            raise DataError("XpressHuff: truncated Huffman table")
-        lengths = [0] * NUM_SYMBOLS
-        for i in range(256):
-            b = data[pos + i]
-            lengths[2 * i] = b & 0xF
-            lengths[2 * i + 1] = b >> 4
-        pos += 256
-        if not any(lengths):
-            raise DataError("XpressHuff: empty Huffman table")
-        table = build_decode_table(lengths, MAX_CODE_LEN)
-        br = _BitReader(data, pos)
-        block_end = min(len(out) + BLOCK_SIZE, out_len)
-        while len(out) < block_end:
-            entry = table[br.peek(MAX_CODE_LEN)]
-            if entry < 0:
-                raise DataError("XpressHuff: invalid Huffman code")
-            sym = entry >> 4
-            br.skip(entry & 0xF)
-            if sym < 256:
-                out.append(sym)
-                continue
-            m = sym - 256
-            obc = m >> 4
-            L = m & 0xF
-            offset = (1 << obc) | br.read_bits(obc)
-            if L == 15:
-                b = br.read_byte()
-                if b == 255:
-                    L = br.read_u16_raw()
-                    if L == 0:
-                        L = br.read_u32_raw()
-                else:
-                    L = b + 15
-            length = L + MIN_MATCH
-            if offset > len(out):
-                raise DataError("XpressHuff: offset before start of output")
-            if len(out) + length > out_len:
-                raise DataError("XpressHuff: match overruns output size")
-            for _ in range(length):
-                out.append(out[-offset])
-        # Next block's table starts byte-aligned after the writer's exact
-        # layout (NOT br.pos, which may lag the writer by one un-refilled
-        # word when bits_consumed is a multiple of 16).
-        pos += _block_byte_span(br.bits_consumed, br.raw_bytes_consumed)
+        pos = _decode_block(data, pos, out, out_len)
     return bytes(out)
+
+
+class StreamDecompressor:
+    """Incremental XH decoder taking ARBITRARY byte slices (reference
+    ``ms_inflate`` semantics).  ``out_len`` is the total uncompressed
+    size; each 64 KiB block is emitted once its bytes are fully
+    buffered (block spans are only discoverable by decoding —
+    [MS-XCA] §2.1).  Cross-block back-references resolve against the
+    carried 64 KiB output window."""
+
+    def __init__(self, out_len: int):
+        if out_len is None:
+            raise ArgError("XpressHuff: out_len is required")
+        self.out_len = out_len
+        self._buf = bytearray()
+        self._win = bytearray()  # last <= 64 KiB of emitted output
+        self.total_out = 0
+        self.total_in = 0
+
+    def decompress(self, chunk: bytes) -> bytes:
+        self._buf += bytes(chunk)
+        self.total_in += len(chunk)
+        produced = bytearray()
+        while self.total_out < self.out_len:
+            # decode in window coordinates: ``work`` holds the carried
+            # window (always 0 or a full 64 KiB — total_out advances in
+            # blocks) + this block's output; the out_len passed shifts
+            # the block-end/overrun checks by the window length
+            work = bytearray(self._win)
+            wlen = len(work)
+            try:
+                nxt = _decode_block(self._buf, 0, work,
+                                    wlen + self.out_len - self.total_out)
+            except DataError:
+                if len(self._buf) < 256:
+                    break  # certainly just a partial table: wait
+                # ambiguous: mid-block truncation and corruption look
+                # the same until more bytes arrive (the bit reader
+                # zero-fills) — wait; flush() reports if it never heals
+                break
+            if nxt > len(self._buf):
+                break  # the reader zero-filled past the buffer: wait
+            block = work[wlen:]
+            produced += block
+            self.total_out += len(block)
+            self._win = work[-MAX_OFFSET - 1 :]
+            del self._buf[:nxt]
+        return bytes(produced)
+
+    def flush(self) -> bytes:
+        if self.total_out < self.out_len:
+            raise DataError(
+                "XpressHuff: stream ended before out_len bytes "
+                "(truncated or malformed input)")
+        return b""
