@@ -42,6 +42,24 @@ def test_pallas_decodes_oracle_streams(corpus, monkeypatch):
     assert b"".join(out) == data
 
 
+def test_pallas_mid_rank_tier(rng, monkeypatch):
+    """A block whose table uses 257-384 symbols must decode through the
+    new rank_cap=384 kernel tier (R3 = 128), bit-exactly vs the oracle."""
+    # all 256 literal values (shuffled) + planted repeats: >256 but
+    # well under 384 used symbols
+    vals = list(range(256))
+    rng.shuffle(vals)
+    buf = bytearray(vals) + bytearray(rng.randrange(256) for _ in range(U - 256))
+    buf[300:340] = buf[20:60]  # long matches -> match symbols
+    buf[400:430] = buf[350:380]
+    data = bytes(buf)
+    stream = oxh.compress(data)
+    assert xh._rank_cap(stream) == 384, xh._rank_cap(stream)
+    monkeypatch.setenv("TPUCOMP_XH_PALLAS", "interpret")
+    out = xh.decompress_units([stream], [len(data)], unit_size=U)
+    assert out[0] == data
+
+
 def test_pallas_flags_truncated_stream(corpus, monkeypatch):
     units, _ = _units(corpus, 1)
     stream = xh.compress_units(units, unit_size=U)[0]

@@ -738,13 +738,18 @@ def _substeps_for(mcl: int) -> int:
 
 
 def _rank_cap(stream) -> int:
-    """Used-symbol count of a stream's table, quantized {256, 512}: the
-    Pallas kernel's rank->symbol scan length (host table peek).  Two
-    tiers only: every tier is a separate Mosaic compile through the
-    (slow) remote helper."""
+    """Used-symbol count of a stream's table, quantized {256, 384, 512}:
+    the Pallas kernel's rank->symbol scan length (host table peek).  Few
+    tiers only — every tier is a separate Mosaic compile through the
+    (slow) remote helper — but the 384 tier pays for itself: typical
+    text blocks use 300-380 symbols, and the rank->symbol scan is the
+    kernel's dominant per-step cost (~R3 vector ops/substep)."""
     tb = np.frombuffer(stream[:256], np.uint8)
     used = int(np.count_nonzero(tb & 0xF) + np.count_nonzero(tb >> 4))
-    return 256 if used <= 256 else 512
+    for cap in (256, 384):
+        if used <= cap:
+            return cap
+    return 512
 
 
 def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
