@@ -1,34 +1,149 @@
 #!/usr/bin/env python
-"""Benchmark entry point: prints ONE JSON line.
+"""Benchmark entry point: prints ONE JSON line (the LAST line printed wins).
 
 Headline metric (BASELINE.md / BASELINE.json): GB/s/chip decode over the
 two north-star formats (LZNT1 + Xpress-Huffman) on a Silesia-like corpus,
 vs the 1 GB/s/chip target.
 
+Robustness architecture (round 3 — VERDICT r2 "Next #1": the round-2 run
+timed out with ZERO numbers because one bad compile burned the budget):
+
+* every stage runs in its OWN subprocess with its own timeout; a hung or
+  SIGKILLed remote compile kills only that stage;
+* the cumulative JSON line is re-printed after EVERY stage (and on
+  SIGTERM/SIGALRM), so a timeout mid-run still leaves the completed
+  stages' numbers on stdout — the driver parses the last JSON line;
+* compile batch-widths are laddered through a persistent state file
+  (.bench_state.json) with crash attribution: a stage writes "trying: W"
+  before each risky compile, so if the whole stage is killed, the next
+  run marks W bad and starts below it.  Known-good widths are tried
+  first and land in the persistent jax compilation cache, making
+  subsequent runs fast;
+* XH *decode* is measured on streams produced by the native C encoder
+  (the foreign-stream interop path), so it cannot be taken down by a
+  TPU-encode compile failure.  The TPU encoder is benched in its own,
+  last, stage.
+
 Methodology: the dev chip is reached through a network tunnel whose
 runtime elides repeated identical dispatches and has ~35 ms dispatch RTT,
-so reps are chained INSIDE one jitted program (lax.fori_loop whose carry
-perturbs the next iteration's inputs by a zero-valued, data-dependent
-salt).  One dispatch + one sync measures the reps' true device executions.
-Correctness is gated before timing (full round-trip against the input).
+so either reps are chained INSIDE one jitted program (`chained`, used
+where per-rep device time is small), or dependent salted dispatches are
+timed at host level (`salted_reps`, used where per-rep device time
+dwarfs the RTT).  Correctness is gated before timing in every stage.
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
-CORPUS_MB = 32  # LZNT1: 8192 chunks fill the parse lanes at N=2048
-XP_CORPUS_MB = 8  # plain-Xpress sub-bench (BASELINE config 2)
-XH_CORPUS_MB = 64  # >=1024 blocks: the parse kernel's lanes fill at
-# SL=8 only when the majority bucket holds ~1024 blocks; per-step cost
-# is identical at [1,128] and [8,128] tiles, so bigger batches are free
-XH_ENC_BLOCKS = 256  # timed-encode slice (encode is the slower path)
+STATE_PATH = os.environ.get(
+    "TPUCOMP_BENCH_STATE", os.path.join(ROOT, ".bench_state.json"))
+CACHE_DIR = os.path.join(ROOT, ".jax_cache")
+STATE_VERSION = 3  # bump to forget accumulated bad-width lists
+
+# env overrides exist for smoke-testing the harness on CPU
+CORPUS_MB = int(os.environ.get("TPUCOMP_BENCH_CORPUS_MB", 32))
+XP_CORPUS_MB = int(os.environ.get("TPUCOMP_BENCH_XP_MB", 8))
+XH_CORPUS_MB = int(os.environ.get("TPUCOMP_BENCH_XH_MB", 64))
 BASELINE_GBPS = 1.0
 
+# (name, max seconds).  Order = value order: the headline decode numbers
+# first, the fragile TPU XH encode last.
+STAGES = [
+    ("lznt1", 480),
+    ("xh_decode", 480),
+    ("xpress", 420),
+    ("xh_encode", 600),
+    ("ratio_vs_ref", 300),
+]
+DEFAULT_BUDGET_S = 1800.0
+
+
+# --------------------------------------------------------------------------
+# persistent compile-width state
+# --------------------------------------------------------------------------
+
+def load_state():
+    try:
+        with open(STATE_PATH) as f:
+            st = json.load(f)
+        if st.get("v") != STATE_VERSION:
+            raise ValueError("stale state version")
+        return st
+    except Exception:
+        # seed with round-2 evidence: XH encode NE=256 SIGKILLs the
+        # remote compile helper, NE=128 followed it into the timeout;
+        # NE=64 compiles in ~144 s (VERDICT r2 real-chip probe).
+        return {
+            "v": STATE_VERSION,
+            "xh_NE": {"good": 64, "bad": [256, 128], "trying": None},
+        }
+
+
+def save_state(st):
+    tmp = STATE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f, indent=1)
+    os.replace(tmp, STATE_PATH)
+
+
+def ladder(key, cands, attempt_fn, log=None):
+    """Try candidate widths (descending) until one compiles+runs.
+
+    Crash attribution: ``trying`` is persisted before each attempt, so a
+    width whose compile SIGKILLs/hangs the whole process is marked bad
+    by the NEXT run.  Known-good is retried first (persistent-cache hit);
+    if even it fails, the ladder continues below it.
+    """
+    st = load_state()
+    ent = st.setdefault(key, {"good": None, "bad": [], "trying": None})
+    if ent.get("trying") is not None:  # previous run died mid-attempt
+        if ent["trying"] not in ent["bad"]:
+            ent["bad"].append(ent["trying"])
+        ent["trying"] = None
+        save_state(st)
+    good, bad = ent.get("good"), set(ent["bad"])
+    order = [c for c in cands if c not in bad and (good is None or c > good)]
+    if good is not None and good not in bad:
+        order.append(good)
+    order += [c for c in cands if c not in bad and good is not None and c < good]
+    for w in order:
+        ent["trying"] = w
+        save_state(st)
+        try:
+            attempt_fn(w)
+        except AssertionError:
+            # correctness failure, not a compile-size failure: the width
+            # is innocent — surface it instead of laddering past it
+            ent["trying"] = None
+            save_state(st)
+            raise
+        except Exception as e:  # compile-helper OOM/500: try narrower
+            ent["trying"] = None
+            if w not in ent["bad"]:
+                ent["bad"].append(w)
+            save_state(st)
+            if log:
+                log(f"{key}={w} failed: {e}"[:300])
+            continue
+        ent["trying"] = None
+        ent["good"] = w
+        save_state(st)
+        return w
+    return None
+
+
+# --------------------------------------------------------------------------
+# timing harnesses
+# --------------------------------------------------------------------------
 
 def chained(fn, args, reps=4):
     """Build+run fn chained `reps` times in ONE dispatch; return s/rep.
@@ -67,16 +182,14 @@ def chained(fn, args, reps=4):
     return (time.perf_counter() - t0) / reps
 
 
-def host_chained(fn, args, reps=4):
-    """Host-level salted rep chain: one jit of the bare fn; dependent
-    salts defeat dispatch elision.  ~35 ms RTT rides on each rep — use
-    only for pipelines whose per-rep runtime dwarfs it (the big XH
-    programs, whose fori-wrapped variants take pathologically long to
-    compile through the tunnel)."""
+def salted_reps(f, args, reps=4):
+    """Time dependent salted dispatches of an ALREADY-WARM jitted f whose
+    last positional arg is an int32 salt.  ~35 ms tunnel RTT rides on
+    each rep — use only where per-rep device time dwarfs it (the big XH
+    programs, whose rep-unrolled variants are compile-size hazards)."""
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(fn)
     salt = jnp.int32(0)
     r = f(*args, salt)
     jax.block_until_ready(r)
@@ -84,356 +197,445 @@ def host_chained(fn, args, reps=4):
     t0 = time.perf_counter()
     for _i in range(reps):
         r = f(*args, salt)
-        salt = jnp.min(jax.tree_util.tree_leaves(r)[0]) * 0
+        salt = jnp.min(jax.tree_util.tree_leaves(r)[0]).astype(jnp.int32) * 0
     jax.block_until_ready((r, salt))
     _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
     return (time.perf_counter() - t0) / reps
 
 
-def main():
+def host_chained(fn, args, reps=4):
+    """jit fn then salted-rep it (fn's last arg is the salt)."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    return salted_reps(jax.jit(fn), args, reps)
+
+
+def _setup_jax():
+    import jax
+
+    # the environment's sitecustomize pins JAX_PLATFORMS=axon at
+    # interpreter start; honor an explicit cpu request (smoke tests)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+# --------------------------------------------------------------------------
+# stages (each runs in its own subprocess: bench.py --stage NAME --out F)
+# --------------------------------------------------------------------------
+
+class StageOut:
+    """extras sink that persists after every update (partial results
+    survive the stage being killed)."""
+
+    def __init__(self, path):
+        self.path = path
+        self.extras = {}
+
+    def __setitem__(self, k, v):
+        self.extras[k] = v
+        if self.path:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"extras": self.extras}, f)
+            os.replace(tmp, self.path)
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _clamp_cands(cands, workload):
+    """Never ladder wider than the workload needs (pow2 round-up)."""
+    cap = 1
+    while cap < workload:
+        cap *= 2
+    out = sorted({min(c, cap) for c in cands}, reverse=True)
+    return out
+
+
+def stage_lznt1(out: StageOut):
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from benchmarks.corpus import silesia_like
     from tpucomp.codecs import lznt1 as lz
-    from tpucomp.codecs import xpress_huff as xh
     from tpucomp.codecs.lznt1_expose import decode_batch_impl, encode_batch_impl
 
     data = silesia_like(CORPUS_MB << 20)
     nbytes = len(data)
-    extras = {"corpus_mb": CORPUS_MB, "device": str(jax.devices()[0])}
+    out["corpus_mb"] = CORPUS_MB
+    out["device"] = str(jax.devices()[0])
 
-    def run_lznt1():
-        # ================= LZNT1 =================
-        # The tunnel's remote compile helper OOMs on very wide batch
-        # programs (observed 2026-08-18: N=1024 chunk lanes SIGKILLs the
-        # compile, N=512 works); ladder down to the widest batch that
-        # compiles and run the corpus in N-chunk slices.
-        nchunks = -(-nbytes // lz.CHUNK)
-        chunksA = np.zeros((nchunks, lz.CHUNK), np.int32)
-        arr = np.frombuffer(data, np.uint8)
-        flat = chunksA.reshape(-1)
-        flat[: len(arr)] = arr
-        chunksA = flat.reshape(nchunks, lz.CHUNK)
-        clenA = np.minimum(
-            nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK
-        ).astype(np.int32)
+    nchunks = -(-nbytes // lz.CHUNK)
+    arr = np.frombuffer(data, np.uint8)
+    chunksA = np.zeros((nchunks * lz.CHUNK,), np.int32)
+    chunksA[: len(arr)] = arr
+    chunksA = chunksA.reshape(nchunks, lz.CHUNK)
+    clenA = np.minimum(
+        nbytes - np.arange(nchunks) * lz.CHUNK, lz.CHUNK
+    ).astype(np.int32)
 
-        N = None
-        for cand in (2048, 1024, 512):
-            try:
-                z = jnp.zeros((cand, lz.CHUNK), jnp.int32)
-                zl = jnp.full((cand,), lz.CHUNK, jnp.int32)
-                jax.block_until_ready(lz.encode_batch(z, zl))
-                N = cand
-                break
-            except Exception as e:  # compile-helper OOM: try narrower
-                print(f"# N={cand} encode compile failed: {e}", file=sys.stderr)
-        if N is None:
-            raise RuntimeError("no LZNT1 batch width compiles")
-        extras["lznt1_batch"] = N
-        nslices = -(-nchunks // N)
-        pad = nslices * N
-        chunks = np.zeros((pad, lz.CHUNK), np.int32)
-        clen = np.zeros(pad, np.int32)
-        chunks[:nchunks] = chunksA
-        clen[:nchunks] = clenA
-        d_chunks, d_clen = jnp.asarray(chunks), jnp.asarray(clen)
+    def attempt(n):
+        z = jnp.zeros((n, lz.CHUNK), jnp.int32)
+        zl = jnp.full((n,), lz.CHUNK, jnp.int32)
+        jax.block_until_ready(lz.encode_batch(z, zl))
 
-        slices = [
-            (jnp.asarray(chunks[i * N : (i + 1) * N]),
-             jnp.asarray(clen[i * N : (i + 1) * N]))
-            for i in range(nslices)
-        ]
-        payloads, plens = [], []
-        for dc, dl in slices:
-            pp, ll = lz.encode_batch(dc, dl)
-            payloads.append(pp)
-            plens.append(ll)
-        jax.block_until_ready((payloads, plens))
-        t_enc_lz = sum(
-            chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
-            for dc, dl in slices
+    N = ladder("lznt1_N", _clamp_cands([2048, 1024, 512], nchunks), attempt, _log)
+    if N is None:
+        raise RuntimeError("no LZNT1 batch width compiles")
+    out["lznt1_batch"] = N
+    nslices = -(-nchunks // N)
+    pad = nslices * N
+    chunks = np.zeros((pad, lz.CHUNK), np.int32)
+    clen = np.zeros(pad, np.int32)
+    chunks[:nchunks] = chunksA
+    clen[:nchunks] = clenA
+
+    slices = [
+        (jnp.asarray(chunks[i * N : (i + 1) * N]),
+         jnp.asarray(clen[i * N : (i + 1) * N]))
+        for i in range(nslices)
+    ]
+    payloads, plens = [], []
+    for dc, dl in slices:
+        pp, ll = lz.encode_batch(dc, dl)
+        payloads.append(pp)
+        plens.append(ll)
+    jax.block_until_ready((payloads, plens))
+    t_enc_lz = sum(
+        chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
+        for dc, dl in slices
+    )
+    out["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
+    payload_h = np.concatenate([np.asarray(p) for p in payloads], axis=0)
+    plen_h = np.concatenate([np.asarray(p) for p in plens], axis=0)
+
+    dp = np.zeros((pad, lz.PAYLOAD_PAD), np.int32)
+    dl = np.zeros(pad, np.int32)
+    dc = np.zeros(pad, bool)
+    comp_bytes = 2 * nchunks
+    for k in range(nchunks):
+        pl, cl = int(plen_h[k]), int(clen[k])
+        if pl < cl:
+            dp[k, :pl] = payload_h[k, :pl]
+            dl[k] = pl
+            dc[k] = True
+            comp_bytes += pl
+        else:
+            dp[k, :cl] = chunks[k, :cl]
+            dl[k] = cl
+            comp_bytes += cl
+    out["lznt1_ratio"] = round(comp_bytes / nbytes, 4)
+
+    dec_slices = [
+        (jnp.asarray(dp[i * N : (i + 1) * N]),
+         jnp.asarray(dl[i * N : (i + 1) * N]),
+         jnp.asarray(dc[i * N : (i + 1) * N]))
+        for i in range(nslices)
+    ]
+    recon_parts = []
+    for si, (d_dp, d_dl, d_dc) in enumerate(dec_slices):
+        o, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
+        jax.block_until_ready(o)
+        lo, hi = si * N, min((si + 1) * N, nchunks)
+        assert not np.asarray(err)[: hi - lo].any()
+        got = np.asarray(o).astype(np.uint8)
+        ol = np.asarray(out_lens)
+        recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
+    assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
+    t_dec_lz = sum(
+        chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
+        for sl in dec_slices
+    )
+    out["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
+
+
+def stage_xh_decode(out: StageOut):
+    """XH decode GB/s on FOREIGN streams (native C encoder): the decode
+    measurement cannot be taken down by a TPU-encode compile failure."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from benchmarks.corpus import silesia_like
+    from tpucomp import _native
+    from tpucomp.codecs import xpress_huff as xh
+    from tpucomp.util import pallas_mode
+
+    xh_data = silesia_like(XH_CORPUS_MB << 20)
+    xh_nbytes = len(xh_data)
+    out["xh_corpus_mb"] = XH_CORPUS_MB
+    U = xh.BLOCK
+    units = [xh_data[i : i + U] for i in range(0, xh_nbytes, U)]
+    t0 = time.perf_counter()
+    # the C encoder uses static scratch (single-threaded contract):
+    # parallelize across PROCESSES; units are independent blocks
+    import multiprocessing as mp
+
+    # spawn (not fork): the parent holds a live TPU client at this point
+    with mp.get_context("spawn").Pool(min(12, os.cpu_count() or 4)) as pool:
+        streams = pool.map(_native.xh_compress, units, chunksize=8)
+    out["xh_native_encode_GBps"] = round(
+        xh_nbytes / (time.perf_counter() - t0) / 1e9, 4)
+    out["xh_ratio_native"] = round(sum(len(s) for s in streams) / xh_nbytes, 4)
+
+    mode = pallas_mode("TPUCOMP_XH_PALLAS")
+    out["xh_backend"] = mode or "xla"
+
+    def bucket_of(s):
+        return (
+            xh._substeps_for(xh._min_code_len([s])),
+            max(1024, -(-(len(s) - 256) // 8192) * 8192),
+            xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
         )
-        payload = jnp.concatenate(payloads, axis=0)
-        plen = jnp.concatenate(plens, axis=0)
 
-        payload_h, plen_h = np.asarray(payload), np.asarray(plen)
-        dp = np.zeros((pad, lz.PAYLOAD_PAD), np.int32)
-        dl = np.zeros(pad, np.int32)
-        dc = np.zeros(pad, bool)
-        comp_bytes = 2 * nchunks
-        for k in range(nchunks):
-            pl, cl = int(plen_h[k]), int(clen[k])
-            if pl < cl:
-                dp[k, :pl] = payload_h[k, :pl]
-                dl[k] = pl
-                dc[k] = True
-                comp_bytes += pl
-            else:
-                dp[k, :cl] = chunks[k, :cl]
-                dl[k] = cl
-                comp_bytes += cl
+    from collections import Counter
 
-        dec_slices = [
-            (jnp.asarray(dp[i * N : (i + 1) * N]),
-             jnp.asarray(dl[i * N : (i + 1) * N]),
-             jnp.asarray(dc[i * N : (i + 1) * N]))
-            for i in range(nslices)
-        ]
-        recon_parts = []
-        for si, (d_dp, d_dl, d_dc) in enumerate(dec_slices):
-            out, out_lens, err = lz.decode_batch(d_dp, d_dl, d_dc)
-            jax.block_until_ready(out)
-            lo, hi = si * N, min((si + 1) * N, nchunks)
-            assert not np.asarray(err)[: hi - lo].any()
-            got = np.asarray(out).astype(np.uint8)
-            ol = np.asarray(out_lens)
-            recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
-        assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
-        t_dec_lz = sum(
-            chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
-            for sl in dec_slices
-        )
-        extras["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
-        extras["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
-        extras["lznt1_ratio"] = round(comp_bytes / nbytes, 4)
-        return t_dec_lz
+    per_b = [bucket_of(s) for s in streams]
+    b_major = Counter(per_b).most_common(1)[0][0]
+    ss_major, _, rc_major = b_major
+    sel = [i for i, b in enumerate(per_b) if b == b_major]
+    out["xh_substeps"] = ss_major
+    out["xh_major_units"] = len(sel)
 
-    def run_xh():
-        # ================= Xpress Huffman =================
-        # XH uses a larger corpus tile: batch lanes = blocks, and production
-        # batches are hundreds of blocks — 8 MB (128 blocks, split across
-        # buckets) would leave the VPU mostly idle.
-        xh_data = silesia_like(XH_CORPUS_MB << 20)
-        xh_nbytes = len(xh_data)
-        U = xh.BLOCK
-        units = [xh_data[i : i + U] for i in range(0, xh_nbytes, U)]
-        # encode batch-width ladder (the remote compile helper has hung
-        # on the widest encode programs — same mitigation as LZNT1)
-        NE = None
-        for cand in (XH_ENC_BLOCKS, XH_ENC_BLOCKS // 2, XH_ENC_BLOCKS // 4):
-            try:
-                z = jnp.zeros((cand, U), jnp.int32)
-                zl = jnp.full((cand,), U, jnp.int32)
-                jax.block_until_ready(
-                    jax.jit(lambda c, l: xh._encode_impl(c, l, U))(z, zl))
-                NE = cand
-                break
-            except Exception as e:
-                print(f"# xh NE={cand} encode compile failed: {e}"[:200],
-                      file=sys.stderr)
-        if NE is None:
-            raise RuntimeError("no XH encode batch width compiles")
-        extras["xh_enc_batch"] = NE
-        # device encode in fixed slices: one [NE, U] compile, reused (a
-        # whole-corpus batch would be a fresh giant compile)
-        from tpucomp.config import DEFAULT as _CFG
-
-        old_bm = _CFG.batch_multiple
-        _CFG.batch_multiple = NE  # pad_batch(NE) == NE: reuse the compile
-        try:
-            streams = []
-            for i in range(0, len(units), NE):
-                streams += xh.compress_units(units[i : i + NE])
-        finally:
-            _CFG.batch_multiple = old_bm
-        xh_bytes = sum(len(s) for s in streams)
-        out_parts = xh.decompress_units(streams, [len(u) for u in units])
-        assert b"".join(out_parts) == xh_data, "xh roundtrip mismatch"
-        extras["xh_ratio"] = round(xh_bytes / xh_nbytes, 4)
-
-        # timed encode (one slice; decode is the headline path)
-        enc_units = units[:NE]
-        enc_bytes = sum(len(u) for u in enc_units)
-        NB = max(8, len(enc_units))
-        ub = np.zeros((NB, U), np.int32)
-        ul = np.zeros(NB, np.int32)
-        for i, u in enumerate(enc_units):
-            a = np.frombuffer(u, np.uint8)
-            ub[i, : len(a)] = a
-            ul[i] = len(a)
-        d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
-        t_enc_xh = host_chained(
-            lambda c, l, s: xh._encode_impl(c, l + s, U)[1], (d_ub, d_ul), reps=4
-        )
-        extras["xh_encode_GBps"] = round(enc_bytes / t_enc_xh / 1e9, 4)
-
-        # timed decode: the majority bucket (decompress_units buckets blocks
-        # by min code length / body size / rank cap; outliers run separately)
-        from collections import Counter
-
-        from tpucomp.util import pallas_mode
-
-        mode = pallas_mode("TPUCOMP_XH_PALLAS")
-        extras["xh_backend"] = mode or "xla"
-
-        def bucket_of(s):
-            return (
-                xh._substeps_for(xh._min_code_len([s])),
-                max(1024, -(-(len(s) - 256) // 8192) * 8192),
-                xh._rank_cap(s) if mode else xh.NUM_SYMBOLS,
-            )
-
-        per_b = [bucket_of(s) for s in streams]
-        b_major = Counter(per_b).most_common(1)[0][0]
-        ss_major, _, rc_major = b_major
-        sel = [i for i, b in enumerate(per_b) if b == b_major]
-        sel_bytes = sum(len(units[i]) for i in sel)
-        max_body = max(len(streams[i]) for i in sel) - 256
+    def run_width(NBD):
+        rows = sel[:NBD]
+        max_body = max(len(streams[i]) for i in rows) - 256
         bb = max(1024, -(-max_body // 8192) * 8192)
         P = min(xh.max_payload(U), 256 + bb + 16)
-        NBD = max(8, len(sel))
         xp = np.zeros((NBD, P), np.int32)
         xl = np.zeros(NBD, np.int32)
         xo = np.zeros(NBD, np.int32)
-        for k, i in enumerate(sel):
+        for k, i in enumerate(rows):
             a = np.frombuffer(streams[i], np.uint8)
             xp[k, : len(a)] = a
             xl[k] = len(a)
             xo[k] = len(units[i])
-        d_xp, d_xl, d_xo = jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo)
-        t_dec_xh_sel = chained(
+        d = (jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo))
+        f = jax.jit(
             lambda p, l, o, s: xh._decode_impl(
-                p, l, o + s, U, ss_major, mode, rc_major)[0],
-            (d_xp, d_xl, d_xo),
-            reps=4,
-        )
-        t_dec_xh = t_dec_xh_sel * xh_nbytes / max(sel_bytes, 1)  # scale to corpus
-        extras["xh_decode_GBps"] = round(xh_nbytes / t_dec_xh / 1e9, 4)
-        extras["xh_substeps"] = ss_major
-        return t_dec_xh
+                p, l, o + s, U, ss_major, mode, rc_major))
+        o_dev, err = f(*d, jnp.int32(0))
+        jax.block_until_ready(o_dev)
+        assert not np.asarray(err)[: len(rows)].any(), "xh decode error flag"
+        got = np.asarray(o_dev).astype(np.uint8)
+        for k, i in enumerate(rows):
+            assert got[k, : len(units[i])].tobytes() == units[i], (
+                f"xh decode mismatch on unit {i}")
+        sel_bytes = sum(len(units[i]) for i in rows)
+        t = salted_reps(lambda p, l, o, s: f(p, l, o, s)[0], d, reps=4)
+        return sel_bytes / t
 
-    def run_xpress():
-        # ================= Xpress plain (BASELINE config 2) =================
-        from tpucomp.codecs import xpress as xp_mod
-        from tpucomp.util import pallas_mode
+    res = {}
 
-        # compile-width ladder (same failure mode as LZNT1's: the remote
-        # compile helper can OOM/500 on the widest programs — r1 lost
-        # ALL xpress numbers to exactly this, VERDICT weak #2): try the
-        # production 64 KiB unit first, then narrower units.
-        XU = None
-        for cand in (65536, 32768, 16384):
-            try:
-                z = jnp.zeros((8, cand), jnp.int32)
-                zl = jnp.full((8,), cand, jnp.int32)
-                jax.block_until_ready(
-                    jax.jit(lambda c, l: xp_mod._encode_impl(c, l, cand))(z, zl))
-                XU = cand
-                break
-            except Exception as e:  # compile-helper failure: narrower
-                print(f"# xpress XU={cand} compile failed: {e}"[:200],
-                      file=sys.stderr)
-        if XU is None:
-            raise RuntimeError("no xpress unit width compiles")
-        extras["xpress_unit"] = XU
-        xp_data = data[: XP_CORPUS_MB << 20]
-        xp_nbytes = len(xp_data)
-        xp_units = [xp_data[i : i + XU] for i in range(0, xp_nbytes, XU)]
-        xp_streams = xp_mod.compress_units(xp_units, unit_size=XU)
-        xp_out = xp_mod.decompress_units(
-            xp_streams, [len(u) for u in xp_units], unit_size=XU
-        )
-        assert b"".join(xp_out) == xp_data, "xpress roundtrip mismatch"
-        extras["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / xp_nbytes, 4)
-        NX = max(8, len(xp_units))
-        xb = np.zeros((NX, XU), np.int32)
-        xbl = np.zeros(NX, np.int32)
-        for i, u in enumerate(xp_units):
-            a = np.frombuffer(u, np.uint8)
-            xb[i, : len(a)] = a
-            xbl[i] = len(a)
-        d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
+    def attempt(w):
+        res["gbps"] = run_width(min(w, len(sel)))
 
-        def enc_stage():
-            t_enc_xp = host_chained(
-                lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1],
-                (d_xb, d_xbl), reps=4
-            )
-            extras["xpress_encode_GBps"] = round(xp_nbytes / t_enc_xp / 1e9, 4)
+    NBD = ladder("xh_NBD", _clamp_cands([512, 256, 128], len(sel)), attempt, _log)
+    if NBD is None:
+        raise RuntimeError("no XH decode batch width compiles")
+    out["xh_dec_batch"] = min(NBD, len(sel))
+    out["xh_decode_GBps"] = round(res["gbps"] / 1e9, 4)
 
-        guard("xpress_encode", enc_stage)
-        # production path buckets payload width by the batch's real max
-        PX = min(
-            xp_mod.max_payload(XU),
-            max(1024, -(-max(len(s) for s in xp_streams) // 8192) * 8192) + 16,
-        )
-        xpp = np.zeros((NX, PX), np.int32)
-        xpl = np.zeros(NX, np.int32)
-        xpo = np.zeros(NX, np.int32)
-        for i, s in enumerate(xp_streams):
-            a = np.frombuffer(s, np.uint8)
-            xpp[i, : len(a)] = a
-            xpl[i] = len(a)
-            xpo[i] = len(xp_units[i])
-        d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
-        xp_mode = pallas_mode("TPUCOMP_XP_PALLAS")
-        extras["xpress_backend"] = xp_mode or "xla"
 
-        def dec_stage():
-            t_dec_xp = host_chained(
-                lambda p, l, o, s: xp_mod._decode_impl(
-                    p, l, o + s, XU, xp_mode)[0][:, 0],
-                (d_xpp, d_xpl, d_xpo),
-                reps=4,
-            )
-            extras["xpress_decode_GBps"] = round(xp_nbytes / t_dec_xp / 1e9, 4)
+def stage_xpress(out: StageOut):
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
-        guard("xpress_decode", dec_stage)
+    from benchmarks.corpus import silesia_like
+    from tpucomp.codecs import xpress as xp_mod
+    from tpucomp.util import pallas_mode
 
-    def run_ratio_vs_ref():
-        # encoder-quality bar (BASELINE north star: <= ms-compress size;
-        # VERDICT r1 weak #5): TPU compressed bytes vs the best CPU
-        # reference implementation on the SAME slice.  The native C
-        # backend is the fast stand-in for ms-compress (3rd independent
-        # impl); fall back to the spec oracle on a smaller slice.
-        import tpucomp
+    data = silesia_like(CORPUS_MB << 20)
+    xp_data = data[: XP_CORPUS_MB << 20]
+    xp_nbytes = len(xp_data)
+    out["xpress_corpus_mb"] = XP_CORPUS_MB
 
-        have_cpu = "cpu" in tpucomp.formats.lookup("lznt1").backends
-        ref_b = "cpu" if have_cpu else "oracle"
-        sl = data[: (2 << 20) if have_cpu else (256 << 10)]
-        extras["ratio_ref_backend"] = ref_b
+    def attempt(XU):
+        NR = max(8, xp_nbytes // XU)
+        z = jnp.zeros((NR, XU), jnp.int32)
+        zl = jnp.full((NR,), XU, jnp.int32)
+        jax.block_until_ready(
+            jax.jit(lambda c, l: xp_mod._encode_impl(c, l, XU))(z, zl))
+
+    XU = ladder("xp_XU", [65536, 32768, 16384], attempt, _log)
+    if XU is None:
+        raise RuntimeError("no xpress unit width compiles")
+    out["xpress_unit"] = XU
+    xp_units = [xp_data[i : i + XU] for i in range(0, xp_nbytes, XU)]
+    NX = max(8, len(xp_units))
+    xb = np.zeros((NX, XU), np.int32)
+    xbl = np.zeros(NX, np.int32)
+    for i, u in enumerate(xp_units):
+        a = np.frombuffer(u, np.uint8)
+        xb[i, : len(a)] = a
+        xbl[i] = len(a)
+    d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
+
+    enc_f = jax.jit(lambda c, l, s: xp_mod._encode_impl(c, l + s, XU))
+    payload, plen = enc_f(d_xb, d_xbl, jnp.int32(0))
+    jax.block_until_ready(plen)
+    payload_h = np.asarray(payload)
+    plen_h = np.asarray(plen)
+    xp_streams = [
+        payload_h[i, : int(plen_h[i])].astype(np.uint8).tobytes()
+        for i in range(len(xp_units))
+    ]
+    out["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / xp_nbytes, 4)
+    t_enc_xp = salted_reps(
+        lambda c, l, s: enc_f(c, l, s)[1], (d_xb, d_xbl), reps=4)
+    out["xpress_encode_GBps"] = round(xp_nbytes / t_enc_xp / 1e9, 4)
+
+    PX = min(
+        xp_mod.max_payload(XU),
+        max(1024, -(-max(len(s) for s in xp_streams) // 8192) * 8192) + 16,
+    )
+    xpp = np.zeros((NX, PX), np.int32)
+    xpl = np.zeros(NX, np.int32)
+    xpo = np.zeros(NX, np.int32)
+    for i, s in enumerate(xp_streams):
+        a = np.frombuffer(s, np.uint8)
+        xpp[i, : len(a)] = a
+        xpl[i] = len(a)
+        xpo[i] = len(xp_units[i])
+    d_xpp, d_xpl, d_xpo = jnp.asarray(xpp), jnp.asarray(xpl), jnp.asarray(xpo)
+    xp_mode = pallas_mode("TPUCOMP_XP_PALLAS")
+    out["xpress_backend"] = xp_mode or "xla"
+    dec_f = jax.jit(
+        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode))
+    o_dev, err = dec_f(d_xpp, d_xpl, d_xpo, jnp.int32(0))
+    jax.block_until_ready(o_dev)
+    assert not np.asarray(err)[: len(xp_units)].any()
+    got = np.asarray(o_dev).astype(np.uint8)
+    recon = b"".join(
+        got[i, : len(xp_units[i])].tobytes() for i in range(len(xp_units)))
+    assert recon == xp_data, "xpress roundtrip mismatch"
+    t_dec_xp = salted_reps(
+        lambda p, l, o, s: dec_f(p, l, o, s)[0][:, 0],
+        (d_xpp, d_xpl, d_xpo), reps=4)
+    out["xpress_decode_GBps"] = round(xp_nbytes / t_dec_xp / 1e9, 4)
+
+
+def stage_xh_encode(out: StageOut):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from benchmarks.corpus import silesia_like
+    from tpucomp import _native
+    from tpucomp.codecs import xpress_huff as xh
+
+    xh_data = silesia_like(XH_CORPUS_MB << 20)
+    U = xh.BLOCK
+    units = [xh_data[i : i + U] for i in range(0, len(xh_data), U)]
+
+    def attempt(ne):
+        z = jnp.zeros((ne, U), jnp.int32)
+        zl = jnp.full((ne,), U, jnp.int32)
+        jax.block_until_ready(
+            jax.jit(lambda c, l: xh._encode_impl(c, l, U))(z, zl))
+
+    NE = ladder("xh_NE", _clamp_cands([256, 128, 64, 32], len(units)), attempt, _log)
+    if NE is None:
+        raise RuntimeError("no XH encode batch width compiles")
+    out["xh_enc_batch"] = NE
+
+    enc_units = units[:NE]
+    enc_bytes = sum(len(u) for u in enc_units)
+    NB = max(8, len(enc_units))
+    ub = np.zeros((NB, U), np.int32)
+    ul = np.zeros(NB, np.int32)
+    for i, u in enumerate(enc_units):
+        a = np.frombuffer(u, np.uint8)
+        ub[i, : len(a)] = a
+        ul[i] = len(a)
+    d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
+    enc_f = jax.jit(lambda c, l, s: xh._encode_impl(c, l + s, U))
+    payload, plen = enc_f(d_ub, d_ul, jnp.int32(0))
+    jax.block_until_ready(plen)
+    payload_h = np.asarray(payload)
+    plen_h = np.asarray(plen)
+    comp = 0
+    for i, u in enumerate(enc_units):
+        s = payload_h[i, : int(plen_h[i])].astype(np.uint8).tobytes()
+        comp += len(s)
+        # cross-impl roundtrip: native C decodes the TPU stream
+        assert _native.xh_decompress(s, len(u)) == u, (
+            f"native cannot decode TPU XH stream {i}")
+    out["xh_ratio"] = round(comp / enc_bytes, 4)
+    t_enc_xh = salted_reps(
+        lambda c, l, s: enc_f(c, l, s)[1], (d_ub, d_ul), reps=4)
+    out["xh_encode_GBps"] = round(enc_bytes / t_enc_xh / 1e9, 4)
+
+
+def stage_ratio_vs_ref(out: StageOut):
+    """Encoder-quality bar (BASELINE north star: <= ms-compress size):
+    TPU compressed bytes vs the native C reference implementation on the
+    SAME slice.  batch_multiple is pinned to the proven bench widths so
+    this stage reuses the persistent-cache compiles."""
+    _setup_jax()
+    from benchmarks.corpus import silesia_like
+    import tpucomp
+    from tpucomp.config import DEFAULT as _CFG
+
+    st = load_state()
+    data = silesia_like(CORPUS_MB << 20)
+    have_cpu = "cpu" in tpucomp.formats.lookup("lznt1").backends
+    ref_b = "cpu" if have_cpu else "oracle"
+    sl = data[: (2 << 20) if have_cpu else (256 << 10)]
+    out["ratio_ref_backend"] = ref_b
+    old_bm = _CFG.batch_multiple
+    try:
         for fmt in ("lznt1", "xpress", "xpress_huff"):
+            if fmt == "lznt1":
+                _CFG.batch_multiple = st.get("lznt1_N", {}).get("good") or 512
+            elif fmt == "xpress":
+                XU = st.get("xp_XU", {}).get("good") or 65536
+                _CFG.batch_multiple = max(8, len(sl) // XU)
+            else:
+                _CFG.batch_multiple = st.get("xh_NE", {}).get("good") or 32
             if fmt == "xpress":
-                units = [sl[i : i + 65536] for i in range(0, len(sl), 65536)]
+                units = [sl[i : i + XU] for i in range(0, len(sl), XU)]
                 tpu_bytes = sum(
                     len(s) for s in tpucomp.compress_batch("xpress", units))
             else:
                 tpu_bytes = len(tpucomp.compress(fmt, sl, backend="tpu"))
             ref_bytes = len(tpucomp.compress(fmt, sl, backend=ref_b))
-            extras[f"{fmt}_ratio_vs_ref"] = round(tpu_bytes / ref_bytes, 4)
+            out[f"{fmt}_ratio_vs_ref"] = round(tpu_bytes / ref_bytes, 4)
+    finally:
+        _CFG.batch_multiple = old_bm
 
-    # Each stage runs guarded: a compile-helper failure on one format
-    # must not cost the round its bench line (the driver records exactly
-    # one JSON line per round).
-    errors = {}
 
-    def guard(name, fn):
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            return None
+STAGE_FNS = {
+    "lznt1": stage_lznt1,
+    "xh_decode": stage_xh_decode,
+    "xpress": stage_xpress,
+    "xh_encode": stage_xh_encode,
+    "ratio_vs_ref": stage_ratio_vs_ref,
+}
 
-    t_dec_lz = guard("lznt1", run_lznt1)
-    t_dec_xh = guard("xh", run_xh)
-    guard("xpress", run_xpress)
-    guard("ratio_vs_ref", run_ratio_vs_ref)
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def emit(extras, errors):
+    """Print the cumulative JSON line (the driver keeps the LAST line)."""
+    ex = dict(extras)
     if errors:
-        extras["errors"] = errors
-
-    # headline: aggregate decode throughput over both north-star formats
+        ex["errors"] = dict(errors)
     num = den = 0.0
-    if t_dec_lz:
-        num += nbytes
-        den += t_dec_lz
-    if t_dec_xh:
-        num += XH_CORPUS_MB << 20
-        den += t_dec_xh
+    g = ex.get("lznt1_decode_GBps")
+    if g:
+        b = (ex.get("corpus_mb", CORPUS_MB)) << 20
+        num += b
+        den += b / (g * 1e9)
+    g = ex.get("xh_decode_GBps")
+    if g:
+        b = (ex.get("xh_corpus_mb", XH_CORPUS_MB)) << 20
+        num += b
+        den += b / (g * 1e9)
     dec_gbps = (num / den / 1e9) if den else 0.0
     print(
         json.dumps(
@@ -442,10 +644,74 @@ def main():
                 "value": round(dec_gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(dec_gbps / BASELINE_GBPS, 4),
-                "extras": extras,
+                "extras": ex,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def orchestrate():
+    budget = float(os.environ.get("TPUCOMP_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    deadline = time.monotonic() + budget
+    extras, errors = {}, {}
+
+    def on_signal(signum, frame):
+        errors["signal"] = f"signal {signum} with {deadline - time.monotonic():.0f}s left"
+        emit(extras, errors)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGALRM, on_signal)
+    signal.alarm(max(30, int(budget)))
+
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    for name, cap in STAGES:
+        if only and name not in only:
+            continue
+        remaining = deadline - time.monotonic()
+        if remaining < 90:
+            errors[name] = "skipped: budget exhausted"
+            continue
+        tb = min(cap, remaining - 15)
+        outf = os.path.join(ROOT, f".bench_stage_{name}.json")
+        try:
+            os.unlink(outf)
+        except OSError:
+            pass
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name, "--out", outf],
+                timeout=tb, cwd=ROOT, stdout=sys.stderr)
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        dt = time.monotonic() - t0
+        try:
+            with open(outf) as f:
+                extras.update(json.load(f).get("extras", {}))
+        except OSError:
+            pass
+        extras[f"{name}_stage_s"] = round(dt, 1)
+        if rc != 0:
+            errors[name] = f"stage rc={rc} after {dt:.0f}s"
+        _log(f"stage {name}: rc={rc} in {dt:.0f}s")
+        emit(extras, errors)
+    emit(extras, errors)
+
+
+def main():
+    if "--stage" in sys.argv:
+        name = sys.argv[sys.argv.index("--stage") + 1]
+        outp = None
+        if "--out" in sys.argv:
+            outp = sys.argv[sys.argv.index("--out") + 1]
+        out = StageOut(outp)
+        STAGE_FNS[name](out)
+        return
+    orchestrate()
 
 
 if __name__ == "__main__":

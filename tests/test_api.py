@@ -88,7 +88,7 @@ class TestStreamingXpress:
         from tpucomp.oracle import xpress as oracle
 
         data = corpus(100000)
-        comp = Compressor(Format.XPRESS)
+        comp = Compressor(Format.XPRESS, backend="oracle")
         out = bytearray()
         for i in range(0, len(data), 777):
             out += comp.compress(data[i : i + 777])
@@ -100,7 +100,7 @@ class TestStreamingXpress:
         from tpucomp.oracle import xpress_huff as oracle
 
         data = corpus(200000)
-        comp = Compressor(Format.XPRESS_HUFF)
+        comp = Compressor(Format.XPRESS_HUFF, backend="oracle")
         out = bytearray()
         for i in range(0, len(data), 50001):  # feeds astride block bounds
             out += comp.compress(data[i : i + 50001])

@@ -82,3 +82,95 @@ class TestRegistry:
         # auto prefers cpu over oracle
         c2 = tpucomp.compress("lznt1", data)
         assert c2 == c
+
+
+class TestNativeStreaming:
+    """Window-carry streaming in the native C backend (reference
+    ms_deflate/ms_inflate parity, SURVEY.md §3.5; VERDICT r2 weak #5:
+    Compressor/Decompressor must honor backend=)."""
+
+    def test_xpress_stream_equals_oneshot(self, corpus):
+        data = corpus(150000)
+        for step in (1, 333, 777, 65536, len(data)):
+            sc = _native.NativeStreamCompressor("xpress")
+            out = bytearray()
+            for i in range(0, len(data), step):
+                out += sc.compress(data[i : i + step])
+            out += sc.flush()
+            assert bytes(out) == _native.xpress_compress(data), step
+            assert _native.xpress_decompress(bytes(out), len(data)) == data
+
+    def test_xh_stream_equals_oneshot(self, corpus):
+        data = corpus(200000)  # several blocks
+        for step in (50001, 65536, 999, len(data)):
+            sc = _native.NativeStreamCompressor("xpress_huff")
+            out = bytearray()
+            for i in range(0, len(data), step):
+                out += sc.compress(data[i : i + step])
+            out += sc.flush()
+            assert bytes(out) == _native.xh_compress(data), step
+
+    def test_stream_empty_input(self):
+        for fmt in ("xpress", "xpress_huff"):
+            sc = _native.NativeStreamCompressor(fmt)
+            out = sc.flush()
+            assert out == (
+                _native.xh_compress(b"")
+                if fmt == "xpress_huff"
+                else _native.xpress_compress(b"")
+            )
+
+    def test_stream_decode_arbitrary_slices(self, corpus):
+        data = corpus(180000)
+        for fmt, stream in (
+            ("xpress", o_xpress.compress(data)),
+            # cross-block back-references exercise the carried window
+            ("xpress_huff", o_xh.compress(data, cross_block=True)),
+        ):
+            for step in (1, 997, 65536, len(stream)):
+                sd = _native.NativeStreamDecompressor(fmt, len(data))
+                out = bytearray()
+                for i in range(0, len(stream), step):
+                    out += sd.decompress(stream[i : i + step])
+                out += sd.flush()
+                assert bytes(out) == data, (fmt, step)
+
+    def test_stream_decode_truncated_raises(self, corpus):
+        import tpucomp
+
+        data = corpus(100000)
+        stream = o_xh.compress(data)
+        sd = _native.NativeStreamDecompressor("xpress_huff", len(data))
+        sd.decompress(stream[: len(stream) // 2])
+        with pytest.raises(tpucomp.DataError):
+            sd.flush()
+
+    def test_api_streaming_honors_backend(self, corpus):
+        """Compressor/Decompressor(backend='cpu') run the native engines
+        and round-trip against each other and the oracle."""
+        import tpucomp
+        from tpucomp import Compressor, Decompressor, Format
+
+        data = corpus(150000)
+        for fmt in (Format.XPRESS, Format.XPRESS_HUFF):
+            comp = Compressor(fmt, backend="cpu")
+            assert comp.backend == "cpu"
+            s = comp.compress(data) + comp.flush()
+            # native stream == native one-shot
+            assert s == tpucomp.compress(fmt, data, backend="cpu")
+            dec = Decompressor(fmt, backend="cpu", out_len=len(data))
+            out = bytearray()
+            for i in range(0, len(s), 1013):
+                out += dec.decompress(s[i : i + 1013])
+            out += dec.flush()
+            assert bytes(out) == data
+            # oracle still decodes the native stream (cross-impl)
+            mod = o_xpress if fmt == Format.XPRESS else o_xh
+            assert mod.decompress(s, len(data)) == data
+
+    def test_api_streaming_tpu_backend_raises(self):
+        import tpucomp
+        from tpucomp import Compressor, Format
+
+        with pytest.raises(tpucomp.ArgError):
+            Compressor(Format.XPRESS, backend="tpu")

@@ -60,6 +60,25 @@ def _load():
             ctypes.c_char_p,
             ctypes.c_int,
         ]
+    # streaming objects (reference ms_deflate/ms_inflate parity)
+    for pre in ("xp_scomp", "xh_scomp", "xp_sdec", "xh_sdec"):
+        new = getattr(lib, pre + "_new")
+        new.restype = ctypes.c_void_p
+        new.argtypes = [ctypes.c_long] if pre.endswith("sdec") else []
+        getattr(lib, pre + "_free").restype = None
+        getattr(lib, pre + "_free").argtypes = [ctypes.c_void_p]
+        feed = getattr(lib, pre + "_feed")
+        feed.restype = ctypes.c_int
+        feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        fin = getattr(lib, pre + "_finish")
+        fin.restype = ctypes.c_int
+        fin.argtypes = [ctypes.c_void_p]
+        av = getattr(lib, pre + "_avail")
+        av.restype = ctypes.c_int
+        av.argtypes = [ctypes.c_void_p]
+        rd = getattr(lib, pre + "_read")
+        rd.restype = ctypes.c_int
+        rd.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -118,6 +137,95 @@ def xh_decompress(data: bytes, out_len: int) -> bytes:
     if out_len is None:
         raise ArgError("XpressHuff: out_len is required")
     return _call(_load().xh_decompress, bytes(data), out_len)
+
+
+class _NativeStream:
+    """Common driver for the C stream objects (feed/avail/read/finish)."""
+
+    def __init__(self, prefix: str, *new_args):
+        lib = _load()
+        self._lib = lib
+        self._new = getattr(lib, prefix + "_new")
+        self._feed = getattr(lib, prefix + "_feed")
+        self._finish = getattr(lib, prefix + "_finish")
+        self._avail = getattr(lib, prefix + "_avail")
+        self._read = getattr(lib, prefix + "_read")
+        self._free = getattr(lib, prefix + "_free")
+        self._h = self._new(*new_args)
+        if not self._h:
+            raise ArgError("native stream: allocation failed")
+
+    def _drain(self) -> bytes:
+        n = _check(self._avail(self._h))
+        if not n:
+            return b""
+        buf = ctypes.create_string_buffer(n)
+        got = _check(self._read(self._h, buf, n))
+        return buf.raw[:got]
+
+    def feed(self, data: bytes) -> bytes:
+        data = bytes(data)
+        _check(self._feed(self._h, data, len(data)))
+        return self._drain()
+
+    def finish(self) -> bytes:
+        _check(self._finish(self._h))
+        return self._drain()
+
+    def close(self):
+        if self._h:
+            self._free(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeStreamCompressor(_NativeStream):
+    """Window-carry native streaming encoder (XPRESS / XPRESS_HUFF).
+
+    compress(b) -> finalized stream bytes so far; flush() -> the rest.
+    XPRESS_HUFF: streamed bytes == one-shot native xh_compress(concat)
+    for any feed slicing.  XPRESS: == one-shot xpress_compress(concat)
+    unless a single match would span > 1 MiB of not-yet-fed input (it is
+    then emitted early; the stream stays spec-valid).
+    """
+
+    def __init__(self, fmt):
+        from .formats import canonical
+
+        prefix = {Format.XPRESS: "xp_scomp", Format.XPRESS_HUFF: "xh_scomp"}[
+            canonical(fmt)
+        ]
+        super().__init__(prefix)
+
+    compress = _NativeStream.feed
+    flush = _NativeStream.finish
+
+
+class NativeStreamDecompressor(_NativeStream):
+    """Window-carry native streaming decoder (XPRESS / XPRESS_HUFF).
+
+    Feed arbitrary slices of one standard stream; decoded bytes are
+    emitted as soon as their tokens/blocks complete.  ``out_len`` is the
+    total uncompressed size (the formats carry no size header).
+    """
+
+    def __init__(self, fmt, out_len: int):
+        if out_len is None or out_len < 0:
+            raise ArgError("out_len is required")
+        from .formats import canonical
+
+        prefix = {Format.XPRESS: "xp_sdec", Format.XPRESS_HUFF: "xh_sdec"}[
+            canonical(fmt)
+        ]
+        super().__init__(prefix, out_len)
+
+    decompress = _NativeStream.feed
+    flush = _NativeStream.finish
 
 
 def register_all():

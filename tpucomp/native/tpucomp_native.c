@@ -15,6 +15,7 @@
 
 #define ERR_DATA (-1)
 #define ERR_BUF (-3)
+#define ERR_AGAIN (-7) /* internal: need more input (streaming) */
 
 /* ================= LZNT1 ([MS-XCA] 2.5) ================= */
 
@@ -495,19 +496,17 @@ static void xh_canonical(const uint8_t *lens, uint16_t *codes) {
         if (lens[s]) codes[s] = next[lens[s]]++;
 }
 
-int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+/* Compress ONE <=64 KiB block (table + bitstream) into out; returns
+ * bytes written.  Shared by the one-shot path and the stream
+ * compressor (block-local window: identical output either way). */
+static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
     static int32_t head[XP_HASH_SIZE];
     static int32_t prev_buf[XH_BLOCK];
     static int32_t tok_pos[XH_BLOCK];
     static int32_t tok_len[XH_BLOCK];
     static int32_t tok_off[XH_BLOCK];
     int o = 0;
-    int nblocks = in_len ? (in_len + XH_BLOCK - 1) / XH_BLOCK : 1;
-    for (int bi = 0; bi < nblocks; bi++) {
-        const uint8_t *blk = in + bi * XH_BLOCK;
-        int n = in_len - bi * XH_BLOCK;
-        if (n > XH_BLOCK) n = XH_BLOCK;
-        if (n < 0) n = 0;
+    {
         memset(head, -1, sizeof(head));
         /* parse */
         int T = 0, pos = 0;
@@ -599,6 +598,21 @@ int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
     return o;
 }
 
+int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    int o = 0;
+    int nblocks = in_len ? (in_len + XH_BLOCK - 1) / XH_BLOCK : 1;
+    for (int bi = 0; bi < nblocks; bi++) {
+        const uint8_t *blk = in + bi * XH_BLOCK;
+        int n = in_len - bi * XH_BLOCK;
+        if (n > XH_BLOCK) n = XH_BLOCK;
+        if (n < 0) n = 0;
+        int c = xh_compress_block(blk, n, out + o, cap - o);
+        if (c < 0) return c;
+        o += c;
+    }
+    return o;
+}
+
 int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
     static uint16_t lut[1 << XH_MAXLEN]; /* (sym<<4)|len */
     int i = 0, o = 0;
@@ -681,4 +695,678 @@ int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
         i = start + 2 * (2 + flushes) + raw_used;
     }
     return o;
+}
+
+/* ============ Streaming (reference ms_deflate/ms_inflate parity) ======
+ *
+ * zlib-style incremental operation with the match window / writer state
+ * carried across feeds (SURVEY.md §3.5; reference streaming recalled as
+ * per-format state machines inside each codec TU).  Protocol per stream
+ * object: feed() consumes input and advances the state machine;
+ * avail() reports finalized output bytes; read() drains them;
+ * finish() flushes.  All return >=0 or a negative MSCompStatus code.
+ */
+
+typedef struct { uint8_t *p; size_t len, cap; } gbuf;
+
+static int gb_reserve(gbuf *g, size_t need) {
+    if (g->cap >= need) return 0;
+    size_t c = g->cap ? g->cap : 4096;
+    while (c < need) c *= 2;
+    uint8_t *np = (uint8_t *)realloc(g->p, c);
+    if (!np) return ERR_DATA;
+    g->p = np;
+    g->cap = c;
+    return 0;
+}
+
+static int gb_put(gbuf *g, const uint8_t *d, size_t n) {
+    if (gb_reserve(g, g->len + n)) return ERR_DATA;
+    if (n) memcpy(g->p + g->len, d, n);
+    g->len += n;
+    return 0;
+}
+
+/* ---------------- XH stream compressor ----------------
+ * 64 KiB block granularity: each block's table+bitstream is self-
+ * contained, so streamed bytes == one-shot xh_compress(concat) for ANY
+ * feed slicing (block-local match window, same as the one-shot path).
+ */
+
+typedef struct {
+    gbuf in, out;
+    size_t out_read;
+    long total_in;
+    int finished;
+} xh_sc;
+
+void *xh_scomp_new(void) { return calloc(1, sizeof(xh_sc)); }
+
+void xh_scomp_free(void *h) {
+    xh_sc *s = (xh_sc *)h;
+    if (!s) return;
+    free(s->in.p);
+    free(s->out.p);
+    free(s);
+}
+
+static int xh_sc_block(xh_sc *s, const uint8_t *d, int n) {
+    if (gb_reserve(&s->out, s->out.len + 264 + 2 * (size_t)XH_BLOCK + 16))
+        return ERR_DATA;
+    int c = xh_compress_block(d, n, s->out.p + s->out.len,
+                              (int)(s->out.cap - s->out.len));
+    if (c < 0) return c;
+    s->out.len += (size_t)c;
+    return 0;
+}
+
+int xh_scomp_feed(void *h, const uint8_t *d, int n) {
+    xh_sc *s = (xh_sc *)h;
+    if (!s || s->finished || n < 0) return ERR_DATA;
+    s->total_in += n;
+    if (gb_put(&s->in, d, (size_t)n)) return ERR_DATA;
+    size_t off = 0;
+    while (s->in.len - off >= XH_BLOCK) {
+        int rc = xh_sc_block(s, s->in.p + off, XH_BLOCK);
+        if (rc < 0) return rc;
+        off += XH_BLOCK;
+    }
+    if (off) {
+        memmove(s->in.p, s->in.p + off, s->in.len - off);
+        s->in.len -= off;
+    }
+    return 0;
+}
+
+int xh_scomp_finish(void *h) {
+    xh_sc *s = (xh_sc *)h;
+    if (!s || s->finished) return ERR_DATA;
+    s->finished = 1;
+    if (s->in.len || s->total_in == 0) {
+        /* final partial block; empty input = one empty block (same as
+         * one-shot xh_compress on b"") */
+        int rc = xh_sc_block(s, s->in.p, (int)s->in.len);
+        if (rc < 0) return rc;
+        s->in.len = 0;
+    }
+    return 0;
+}
+
+int xh_scomp_avail(void *h) {
+    xh_sc *s = (xh_sc *)h;
+    return s ? (int)(s->out.len - s->out_read) : ERR_DATA;
+}
+
+int xh_scomp_read(void *h, uint8_t *dst, int cap) {
+    xh_sc *s = (xh_sc *)h;
+    if (!s || cap < 0) return ERR_DATA;
+    size_t n = s->out.len - s->out_read;
+    if (n > (size_t)cap) n = (size_t)cap;
+    if (n) memcpy(dst, s->out.p + s->out_read, n);
+    s->out_read += n;
+    if (s->out_read == s->out.len) s->out_read = s->out.len = 0;
+    return (int)n;
+}
+
+/* ---------------- Xpress plain stream compressor ----------------
+ * Window and writer state carried across feeds; output bytes equal the
+ * one-shot xpress_compress(concat) for any slicing, except when a
+ * single match would have to span more than XP_DEFER_CAP not-yet-fed
+ * bytes (then it is emitted early; the stream stays spec-valid).  The
+ * flag-word and shared-nibble backpatch slots hold back read()
+ * visibility until they finalize (the format backpatches output).
+ */
+
+#define XP_DEFER_CAP (1 << 20)
+
+typedef struct {
+    gbuf in;      /* whole input accumulated; absolute positions */
+    size_t pos;   /* parse cursor */
+    size_t hfront; /* hash-insertion frontier (lazy, one-shot order) */
+    int32_t head[XP_HASH_SIZE];
+    int32_t *prev;
+    size_t prev_cap;
+    gbuf out;
+    size_t out_read;
+    uint32_t flags;
+    int nflags;
+    long flag_pos, nib_pos; /* absolute indices into out; -1 = closed */
+    int finished;
+} xp_sc;
+
+void *xp_scomp_new(void) {
+    xp_sc *s = (xp_sc *)calloc(1, sizeof(xp_sc));
+    if (!s) return 0;
+    memset(s->head, -1, sizeof(s->head));
+    s->flag_pos = s->nib_pos = -1;
+    return s;
+}
+
+void xp_scomp_free(void *h) {
+    xp_sc *s = (xp_sc *)h;
+    if (!s) return;
+    free(s->in.p);
+    free(s->out.p);
+    free(s->prev);
+    free(s);
+}
+
+static int xp_sc_byte(xp_sc *s, uint8_t b) {
+    uint8_t v = b;
+    return gb_put(&s->out, &v, 1);
+}
+
+static int xp_sc_flag(xp_sc *s, int bit) {
+    if (s->flag_pos < 0) {
+        s->flag_pos = (long)s->out.len;
+        uint8_t z[4] = {0, 0, 0, 0};
+        if (gb_put(&s->out, z, 4)) return ERR_DATA;
+    }
+    s->flags = (s->flags << 1) | (uint32_t)bit;
+    if (++s->nflags == 32) {
+        memcpy(s->out.p + s->flag_pos, &s->flags, 4);
+        s->flags = 0;
+        s->nflags = 0;
+        s->flag_pos = -1;
+    }
+    return 0;
+}
+
+static void xp_sc_finish_flags(xp_sc *s) {
+    if (s->flag_pos >= 0) {
+        int rem = 32 - s->nflags;
+        uint32_t f = (s->flags << rem) |
+                     ((rem == 32) ? 0xFFFFFFFFu : ((1u << rem) - 1));
+        memcpy(s->out.p + s->flag_pos, &f, 4);
+        s->flag_pos = -1;
+    }
+}
+
+static int xp_sc_parse(xp_sc *s, int final) {
+    const uint8_t *in = s->in.p;
+    size_t avail = s->in.len;
+    if (avail > s->prev_cap) {
+        size_t c = s->prev_cap ? s->prev_cap : (1 << 16);
+        while (c < avail) c *= 2;
+        int32_t *np = (int32_t *)realloc(s->prev, c * sizeof(int32_t));
+        if (!np) return ERR_DATA;
+        s->prev = np;
+        s->prev_cap = c;
+    }
+    while (s->pos < avail) {
+        size_t pos = s->pos;
+        /* lazy hash insertion in one-shot order: every p < pos with
+         * p + 3 <= avail */
+        while (s->hfront < pos && s->hfront + 3 <= avail) {
+            uint32_t hh = xp_hash3(in + s->hfront);
+            s->prev[s->hfront] = s->head[hh];
+            s->head[hh] = (int32_t)s->hfront;
+            s->hfront++;
+        }
+        size_t lim = avail - pos;
+        if (!final && lim < 3) break; /* a future feed may open a match */
+        int best_len = 0, best_off = 0, hit_lim = 0;
+        if (pos + 3 <= avail) {
+            uint32_t h = xp_hash3(in + pos);
+            int32_t cand = s->head[h];
+            int depth = 0;
+            while (cand >= 0 && pos - (size_t)cand <= XP_WINDOW &&
+                   depth++ < XP_DEPTH) {
+                size_t len = 0;
+                while (len < lim && in[cand + len] == in[pos + len]) len++;
+                if (len >= lim) hit_lim = 1;
+                if ((int)len > best_len) {
+                    best_len = (int)len;
+                    best_off = (int)(pos - (size_t)cand);
+                    if (len >= lim) break;
+                }
+                cand = s->prev[cand];
+            }
+        }
+        if (!final && hit_lim && lim <= XP_DEFER_CAP)
+            break; /* a longer match may complete with more input */
+        if (best_len >= 3) {
+            if (xp_sc_flag(s, 1)) return ERR_DATA;
+            int L = best_len - 3;
+            uint16_t tok =
+                (uint16_t)(((best_off - 1) << 3) | (L < 7 ? L : 7));
+            if (xp_sc_byte(s, (uint8_t)tok)) return ERR_DATA;
+            if (xp_sc_byte(s, (uint8_t)(tok >> 8))) return ERR_DATA;
+            if (L >= 7) {
+                L -= 7;
+                int nib = L < 15 ? L : 15;
+                if (s->nib_pos < 0) {
+                    s->nib_pos = (long)s->out.len;
+                    if (xp_sc_byte(s, (uint8_t)nib)) return ERR_DATA;
+                } else {
+                    s->out.p[s->nib_pos] |= (uint8_t)(nib << 4);
+                    s->nib_pos = -1;
+                }
+                if (L >= 15) {
+                    L -= 15;
+                    if (L < 255) {
+                        if (xp_sc_byte(s, (uint8_t)L)) return ERR_DATA;
+                    } else {
+                        uint32_t full = (uint32_t)(best_len - 3);
+                        if (xp_sc_byte(s, 255)) return ERR_DATA;
+                        if (full < 0x10000 && full != 0) {
+                            if (xp_sc_byte(s, (uint8_t)full)) return ERR_DATA;
+                            if (xp_sc_byte(s, (uint8_t)(full >> 8)))
+                                return ERR_DATA;
+                        } else {
+                            uint8_t z[2] = {0, 0};
+                            if (gb_put(&s->out, z, 2)) return ERR_DATA;
+                            if (gb_put(&s->out, (uint8_t *)&full, 4))
+                                return ERR_DATA;
+                        }
+                    }
+                }
+            }
+            s->pos = pos + (size_t)best_len;
+        } else {
+            if (xp_sc_flag(s, 0)) return ERR_DATA;
+            if (xp_sc_byte(s, in[pos])) return ERR_DATA;
+            s->pos = pos + 1;
+        }
+    }
+    return 0;
+}
+
+int xp_scomp_feed(void *h, const uint8_t *d, int n) {
+    xp_sc *s = (xp_sc *)h;
+    if (!s || s->finished || n < 0) return ERR_DATA;
+    if (gb_put(&s->in, d, (size_t)n)) return ERR_DATA;
+    return xp_sc_parse(s, 0);
+}
+
+int xp_scomp_finish(void *h) {
+    xp_sc *s = (xp_sc *)h;
+    if (!s || s->finished) return ERR_DATA;
+    s->finished = 1;
+    int rc = xp_sc_parse(s, 1);
+    if (rc < 0) return rc;
+    xp_sc_finish_flags(s);
+    s->nib_pos = -1;
+    return 0;
+}
+
+static size_t xp_sc_stable(xp_sc *s) {
+    size_t w = s->out.len;
+    if (s->flag_pos >= 0 && (size_t)s->flag_pos < w) w = (size_t)s->flag_pos;
+    if (s->nib_pos >= 0 && (size_t)s->nib_pos < w) w = (size_t)s->nib_pos;
+    return w;
+}
+
+int xp_scomp_avail(void *h) {
+    xp_sc *s = (xp_sc *)h;
+    return s ? (int)(xp_sc_stable(s) - s->out_read) : ERR_DATA;
+}
+
+int xp_scomp_read(void *h, uint8_t *dst, int cap) {
+    xp_sc *s = (xp_sc *)h;
+    if (!s || cap < 0) return ERR_DATA;
+    size_t n = xp_sc_stable(s) - s->out_read;
+    if (n > (size_t)cap) n = (size_t)cap;
+    if (n) memcpy(dst, s->out.p + s->out_read, n);
+    s->out_read += n;
+    if (s->out_read == s->out.len && s->flag_pos < 0 && s->nib_pos < 0) {
+        s->out_read = s->out.len = 0;
+    } else if (s->out_read > 65536) {
+        memmove(s->out.p, s->out.p + s->out_read, s->out.len - s->out_read);
+        s->out.len -= s->out_read;
+        if (s->flag_pos >= 0) s->flag_pos -= (long)s->out_read;
+        if (s->nib_pos >= 0) s->nib_pos -= (long)s->out_read;
+        s->out_read = 0;
+    }
+    return (int)n;
+}
+
+/* ---------------- Xpress plain stream decompressor ----------------
+ * Arbitrary feed slicing; token-level resumable state machine with the
+ * 8 KiB window carried in a history buffer. */
+
+typedef struct {
+    gbuf in;
+    size_t ic; /* consumed cursor */
+    uint32_t flags;
+    int nflags;
+    int nib; /* pending high-nibble value, -1 = none */
+    gbuf hist;
+    size_t emitted;
+    long out_total, out_len;
+    int finished;
+} xp_sd;
+
+void *xp_sdec_new(long out_len) {
+    if (out_len < 0) return 0;
+    xp_sd *s = (xp_sd *)calloc(1, sizeof(xp_sd));
+    if (!s) return 0;
+    s->nib = -1;
+    s->out_len = out_len;
+    return s;
+}
+
+void xp_sdec_free(void *h) {
+    xp_sd *s = (xp_sd *)h;
+    if (!s) return;
+    free(s->in.p);
+    free(s->hist.p);
+    free(s);
+}
+
+static int xp_sd_run(xp_sd *s, int final) {
+    const uint8_t *in = s->in.p;
+    while (s->out_total < s->out_len) {
+        size_t avail = s->in.len;
+        /* worst-case token: 4 flag + 2 tok + 1 nib + 1 byte + 2 u16 +
+         * 4 u32 = 14 bytes */
+        if (!final && avail - s->ic < 14) return 0;
+        size_t i = s->ic;
+        uint32_t flags = s->flags;
+        int nflags = s->nflags;
+        int nib = s->nib;
+        if (nflags == 0) {
+            if (i + 4 > avail) return final ? ERR_DATA : 0;
+            memcpy(&flags, in + i, 4);
+            i += 4;
+            nflags = 32;
+        }
+        int is_match = (flags >> 31) & 1;
+        flags <<= 1;
+        nflags--;
+        if (!is_match) {
+            if (i >= avail) return final ? ERR_DATA : 0;
+            uint8_t b = in[i++];
+            if (gb_put(&s->hist, &b, 1)) return ERR_DATA;
+            s->out_total++;
+        } else {
+            if (i + 2 > avail) return final ? ERR_DATA : 0;
+            uint16_t tok = (uint16_t)(in[i] | (in[i + 1] << 8));
+            i += 2;
+            int off = (tok >> 3) + 1;
+            uint32_t L = tok & 7;
+            if (L == 7) {
+                if (nib < 0) {
+                    if (i >= avail) return final ? ERR_DATA : 0;
+                    nib = in[i] >> 4;
+                    L = in[i] & 0xF;
+                    i++;
+                } else {
+                    L = (uint32_t)nib;
+                    nib = -1;
+                }
+                if (L == 15) {
+                    if (i >= avail) return final ? ERR_DATA : 0;
+                    L = in[i++];
+                    if (L == 255) {
+                        if (i + 2 > avail) return final ? ERR_DATA : 0;
+                        L = (uint32_t)(in[i] | (in[i + 1] << 8));
+                        i += 2;
+                        if (L == 0) {
+                            if (i + 4 > avail) return final ? ERR_DATA : 0;
+                            memcpy(&L, in + i, 4);
+                            i += 4;
+                        }
+                        if (L < 22) return ERR_DATA;
+                        L -= 22;
+                    }
+                    L += 15;
+                }
+                L += 7;
+            }
+            long len = (long)L + 3;
+            if ((long)off > (long)s->hist.len ||
+                s->out_total + len > s->out_len)
+                return ERR_DATA;
+            if (gb_reserve(&s->hist, s->hist.len + (size_t)len))
+                return ERR_DATA;
+            uint8_t *hp = s->hist.p;
+            size_t o = s->hist.len;
+            for (long k = 0; k < len; k++, o++) hp[o] = hp[o - off];
+            s->hist.len = o;
+            s->out_total += len;
+        }
+        /* token fully consumed: commit state */
+        s->ic = i;
+        s->flags = flags;
+        s->nflags = nflags;
+        s->nib = nib;
+    }
+    return 0;
+}
+
+int xp_sdec_feed(void *h, const uint8_t *d, int n) {
+    xp_sd *s = (xp_sd *)h;
+    if (!s || n < 0) return ERR_DATA;
+    if (gb_put(&s->in, d, (size_t)n)) return ERR_DATA;
+    return xp_sd_run(s, 0);
+}
+
+int xp_sdec_finish(void *h) {
+    xp_sd *s = (xp_sd *)h;
+    if (!s || s->finished) return ERR_DATA;
+    s->finished = 1;
+    int rc = xp_sd_run(s, 1);
+    if (rc < 0) return rc;
+    return s->out_total == s->out_len ? 0 : ERR_DATA;
+}
+
+int xp_sdec_avail(void *h) {
+    xp_sd *s = (xp_sd *)h;
+    return s ? (int)(s->hist.len - s->emitted) : ERR_DATA;
+}
+
+int xp_sdec_read(void *h, uint8_t *dst, int cap) {
+    xp_sd *s = (xp_sd *)h;
+    if (!s || cap < 0) return ERR_DATA;
+    size_t n = s->hist.len - s->emitted;
+    if (n > (size_t)cap) n = (size_t)cap;
+    if (n) memcpy(dst, s->hist.p + s->emitted, n);
+    s->emitted += n;
+    if (s->emitted == s->hist.len && s->hist.len > XP_WINDOW) {
+        /* keep the 8 KiB window, drop older emitted history */
+        memmove(s->hist.p, s->hist.p + s->hist.len - XP_WINDOW, XP_WINDOW);
+        s->hist.len = s->emitted = XP_WINDOW;
+    }
+    return (int)n;
+}
+
+/* ---------------- XH stream decompressor ----------------
+ * Arbitrary feed slicing; whole-block retry: a block is (re)attempted
+ * from buffered input until its full compressed span is present, then
+ * committed (blocks are <= 64 KiB output, so the retry cost is small).
+ * The 64 KiB cross-block window ([MS-XCA] §2.1) is carried in the
+ * history buffer. */
+
+typedef struct {
+    gbuf in;
+    gbuf hist;
+    size_t emitted;
+    long out_total, out_len;
+    int finished;
+} xh_sd;
+
+void *xh_sdec_new(long out_len) {
+    if (out_len < 0) return 0;
+    xh_sd *s = (xh_sd *)calloc(1, sizeof(xh_sd));
+    if (!s) return 0;
+    s->out_len = out_len;
+    return s;
+}
+
+void xh_sdec_free(void *h) {
+    xh_sd *s = (xh_sd *)h;
+    if (!s) return;
+    free(s->in.p);
+    free(s->hist.p);
+    free(s);
+}
+
+/* decode ONE block from in[0..avail); history = hist[0..h), output
+ * appended at hist+h (caller reserved 64 KiB).  Returns consumed input
+ * span (>0), ERR_AGAIN (need more input; only when !final) or
+ * ERR_DATA.  *produced gets the block's output byte count. */
+static int xh_sd_block(const uint8_t *in, long avail, int final,
+                       uint8_t *hist, long h, long remaining,
+                       long *produced) {
+    if (avail < 256 + 4) return final ? ERR_DATA : ERR_AGAIN;
+    uint16_t lut[1 << XH_MAXLEN];
+    uint8_t lens[XH_SYMS];
+    uint16_t codes[XH_SYMS];
+    for (int k = 0; k < 256; k++) {
+        lens[2 * k] = in[k] & 0xF;
+        lens[2 * k + 1] = in[k] >> 4;
+    }
+    xh_canonical(lens, codes);
+    memset(lut, 0xFF, sizeof(lut));
+    for (int sx = 0; sx < XH_SYMS; sx++) {
+        if (!lens[sx]) continue;
+        int span = 1 << (XH_MAXLEN - lens[sx]);
+        int base = codes[sx] << (XH_MAXLEN - lens[sx]);
+        for (int k = 0; k < span; k++)
+            lut[base + k] = (uint16_t)((sx << 4) | lens[sx]);
+    }
+    long p = 256;
+    int bits_used = 0, raw_used = 0;
+    uint32_t w0 = (uint32_t)((p < avail ? in[p] : 0) |
+                             ((p + 1 < avail ? in[p + 1] : 0) << 8));
+    p += 2;
+    uint32_t w1 = (uint32_t)((p < avail ? in[p] : 0) |
+                             ((p + 1 < avail ? in[p + 1] : 0) << 8));
+    p += 2;
+    uint32_t bitbuf = (w0 << 16) | w1;
+    int bitcount = 32;
+    long o = h;
+    long block_end = h + XH_BLOCK;
+    if (block_end > h + remaining) block_end = h + remaining;
+    while (o < block_end) {
+        uint16_t e = lut[(bitbuf >> 17) & 0x7FFF];
+        if (e == 0xFFFF) return (final || p <= avail) ? ERR_DATA : ERR_AGAIN;
+        int sym = e >> 4, sl = e & 0xF;
+        bitbuf <<= sl;
+        bitcount -= sl;
+        bits_used += sl;
+        if (bitcount < 16) {
+            uint32_t wn = (uint32_t)((p < avail ? in[p] : 0) |
+                                     ((p + 1 < avail ? in[p + 1] : 0) << 8));
+            bitbuf |= wn << (16 - bitcount);
+            p += 2;
+            bitcount += 16;
+        }
+        if (sym < 256) {
+            hist[o++] = (uint8_t)sym;
+            continue;
+        }
+        int m = sym - 256;
+        int obc = m >> 4;
+        uint32_t L = (uint32_t)(m & 0xF);
+        uint32_t off = (1u << obc);
+        if (obc) {
+            off |= (bitbuf >> (32 - obc));
+            bitbuf <<= obc;
+            bitcount -= obc;
+            bits_used += obc;
+            if (bitcount < 16) {
+                uint32_t wn = (uint32_t)(
+                    (p < avail ? in[p] : 0) |
+                    ((p + 1 < avail ? in[p + 1] : 0) << 8));
+                bitbuf |= wn << (16 - bitcount);
+                p += 2;
+                bitcount += 16;
+            }
+        }
+        if (L == 15) {
+            if (p >= avail) return final ? ERR_DATA : ERR_AGAIN;
+            uint32_t b = in[p++];
+            raw_used++;
+            if (b == 255) {
+                if (p + 2 > avail && !final) return ERR_AGAIN;
+                uint32_t u16 = (uint32_t)((p < avail ? in[p] : 0) |
+                                          ((p + 1 < avail ? in[p + 1] : 0)
+                                           << 8));
+                p += 2;
+                raw_used += 2;
+                if (u16 == 0) {
+                    if (p + 4 > avail) return final ? ERR_DATA : ERR_AGAIN;
+                    memcpy(&u16, in + p, 4);
+                    p += 4;
+                    raw_used += 4;
+                }
+                L = u16;
+            } else {
+                L = b + 15;
+            }
+        }
+        long len = (long)L + 3;
+        if ((long)off > o || o + len > h + remaining)
+            return (final || p <= avail) ? ERR_DATA : ERR_AGAIN;
+        for (long k = 0; k < len; k++, o++) hist[o] = hist[o - (long)off];
+    }
+    int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
+    long span = 256 + 2 * (2 + flushes) + raw_used;
+    /* the refill pipeline reads up to 4 bytes past the true span */
+    if (!final && span + 4 > avail) return ERR_AGAIN;
+    if (span > avail) return final ? ERR_DATA : ERR_AGAIN;
+    *produced = o - h;
+    return (int)span;
+}
+
+int xh_sdec_feed(void *h, const uint8_t *d, int n) {
+    xh_sd *s = (xh_sd *)h;
+    if (!s || n < 0) return ERR_DATA;
+    if (gb_put(&s->in, d, (size_t)n)) return ERR_DATA;
+    while (s->out_total < s->out_len) {
+        if (gb_reserve(&s->hist, s->hist.len + XH_BLOCK)) return ERR_DATA;
+        long produced = 0;
+        int span = xh_sd_block(s->in.p, (long)s->in.len, 0, s->hist.p,
+                               (long)s->hist.len,
+                               s->out_len - s->out_total, &produced);
+        if (span == ERR_AGAIN) return 0;
+        if (span < 0) return span;
+        s->hist.len += (size_t)produced;
+        s->out_total += produced;
+        memmove(s->in.p, s->in.p + span, s->in.len - (size_t)span);
+        s->in.len -= (size_t)span;
+    }
+    return 0;
+}
+
+int xh_sdec_finish(void *h) {
+    xh_sd *s = (xh_sd *)h;
+    if (!s || s->finished) return ERR_DATA;
+    s->finished = 1;
+    while (s->out_total < s->out_len) {
+        if (gb_reserve(&s->hist, s->hist.len + XH_BLOCK)) return ERR_DATA;
+        long produced = 0;
+        int span = xh_sd_block(s->in.p, (long)s->in.len, 1, s->hist.p,
+                               (long)s->hist.len,
+                               s->out_len - s->out_total, &produced);
+        if (span < 0) return span;
+        s->hist.len += (size_t)produced;
+        s->out_total += produced;
+        if ((size_t)span > s->in.len) span = (int)s->in.len;
+        memmove(s->in.p, s->in.p + span, s->in.len - (size_t)span);
+        s->in.len -= (size_t)span;
+    }
+    return 0;
+}
+
+int xh_sdec_avail(void *h) {
+    xh_sd *s = (xh_sd *)h;
+    return s ? (int)(s->hist.len - s->emitted) : ERR_DATA;
+}
+
+int xh_sdec_read(void *h, uint8_t *dst, int cap) {
+    xh_sd *s = (xh_sd *)h;
+    if (!s || cap < 0) return ERR_DATA;
+    size_t n = s->hist.len - s->emitted;
+    if (n > (size_t)cap) n = (size_t)cap;
+    if (n) memcpy(dst, s->hist.p + s->emitted, n);
+    s->emitted += n;
+    if (s->emitted == s->hist.len && s->hist.len > (size_t)XH_BLOCK) {
+        /* keep the 64 KiB cross-block window */
+        memmove(s->hist.p, s->hist.p + s->hist.len - XH_BLOCK, XH_BLOCK);
+        s->hist.len = s->emitted = XH_BLOCK;
+    }
+    return (int)n;
 }
