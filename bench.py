@@ -58,7 +58,7 @@ BASELINE_GBPS = 1.0
 # (name, max seconds).  Order = value order: the headline decode numbers
 # first, the fragile TPU XH encode last.
 STAGES = [
-    ("lznt1", 480),
+    ("lznt1", 600),
     ("xh_decode", 480),
     ("xpress", 420),
     ("xh_encode", 600),
@@ -180,6 +180,37 @@ def chained(fn, args, reps=4):
     r = run(z, *args)
     _ = np.asarray(r)
     return (time.perf_counter() - t0) / reps
+
+
+def chained_multi(fn, args_list, reps=4):
+    """`chained` over several same-shape arg tuples, tracing the
+    rep-unrolled program ONCE (per-slice re-tracing of these giant
+    graphs cost minutes and timed out the round-3 lznt1 stage)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(zero, *a):
+        s = jnp.int32(0)
+        for _ in range(reps):
+            outs = fn(*a, s)
+            acc = zero
+            for leaf in jax.tree_util.tree_leaves(outs):
+                acc = acc + jnp.min(leaf).astype(jnp.int32)
+            s = acc * zero
+        return s
+
+    z = jnp.int32(0)
+    total = 0.0
+    for i, args in enumerate(args_list):
+        r = run(z, *args)
+        r.block_until_ready()
+        _ = np.asarray(r)
+        t0 = time.perf_counter()
+        r = run(z, *args)
+        _ = np.asarray(r)
+        total += (time.perf_counter() - t0) / reps
+    return total
 
 
 def salted_reps(f, args, reps=4):
@@ -305,10 +336,8 @@ def stage_lznt1(out: StageOut):
         payloads.append(pp)
         plens.append(ll)
     jax.block_until_ready((payloads, plens))
-    t_enc_lz = sum(
-        chained(lambda c, l, s: encode_batch_impl(c, l + s)[1], (dc, dl))
-        for dc, dl in slices
-    )
+    t_enc_lz = chained_multi(
+        lambda c, l, s: encode_batch_impl(c, l + s)[1], slices)
     out["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
     payload_h = np.concatenate([np.asarray(p) for p in payloads], axis=0)
     plen_h = np.concatenate([np.asarray(p) for p in plens], axis=0)
@@ -346,10 +375,8 @@ def stage_lznt1(out: StageOut):
         ol = np.asarray(out_lens)
         recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
     assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
-    t_dec_lz = sum(
-        chained(lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], sl)
-        for sl in dec_slices
-    )
+    t_dec_lz = chained_multi(
+        lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], dec_slices)
     out["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
 
 

@@ -38,7 +38,11 @@ def main():
     data = silesia_like(corpus_mb << 20)
     U = xh.BLOCK
     units = [data[i : i + U] for i in range(0, len(data), U)]
-    streams = xh.compress_units(units)
+    # native-encoded foreign streams (mirrors bench.py stage_xh_decode;
+    # the TPU encoder's streams profile identically and cost minutes)
+    from tpucomp import _native
+
+    streams = [_native.xh_compress(u) for u in units]
     mode = pallas_mode("TPUCOMP_XH_PALLAS")
     print(f"# corpus {corpus_mb} MB, {len(units)} blocks, mode={mode}")
 
@@ -55,7 +59,7 @@ def main():
     per_b = [bucket_of(s) for s in streams]
     b_major = Counter(per_b).most_common(1)[0][0]
     ss, _, rc = b_major
-    sel = [i for i, b in enumerate(per_b) if b == b_major]
+    sel = [i for i, b in enumerate(per_b) if b == b_major][:512]
     sel_bytes = sum(len(units[i]) for i in sel)
     max_body = max(len(streams[i]) for i in sel) - 256
     bb = max(1024, -(-max_body // 8192) * 8192)

@@ -85,13 +85,16 @@ class MeshJit:
 class ShardedCodec:
     """Data-parallel unit codec over a device mesh (any format)."""
 
-    def __init__(self, fmt, mesh=None, unit_size=None):
+    def __init__(self, fmt, mesh=None, unit_size=None, trace_dir=None):
         self.fmt = canonical(fmt)
         self.mesh = mesh if mesh is not None else data_mesh()
         self.ndev = self.mesh.devices.size
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.jitter = MeshJit(self.mesh)
         self.last_stats = None
+        # jax.profiler trace scope around every device dispatch
+        # (SURVEY.md §5 tracing row); None disables
+        self.trace_dir = trace_dir
 
         if self.fmt == Format.LZNT1:
             from ..codecs import lznt1 as m
@@ -138,7 +141,9 @@ class ShardedCodec:
         todo = units[start:]
         stats = RunStats(fmt=self.fmt.name, units=len(todo))
         if todo:
-            with timed(stats):
+            from ..stats import device_trace
+
+            with timed(stats), device_trace(self.trace_dir):
                 streams = self._compress_units(todo)
             for s, unit in zip(streams, todo):
                 manifest.unit_out_lens.append(len(unit))
@@ -168,7 +173,9 @@ class ShardedCodec:
         out_lens = archive.manifest.unit_out_lens
         stats = RunStats(fmt=self.fmt.name, units=len(streams),
                          out_bytes=len(archive.payload))
-        with timed(stats):
+        from ..stats import device_trace
+
+        with timed(stats), device_trace(self.trace_dir):
             if self.fmt == Format.LZNT1:
                 parts = self._lznt1_units(streams, encode=False)
             else:
