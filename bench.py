@@ -64,7 +64,7 @@ STAGES = [
     ("xh_encode", 600),
     ("ratio_vs_ref", 300),
 ]
-DEFAULT_BUDGET_S = 1800.0
+DEFAULT_BUDGET_S = 2400.0
 
 
 # --------------------------------------------------------------------------
@@ -480,16 +480,22 @@ def stage_xpress(out: StageOut):
     xp_nbytes = len(xp_data)
     out["xpress_corpus_mb"] = XP_CORPUS_MB
 
+    res = {}
+
     def attempt(XU):
+        # compile the EXACT salted program the timing loop uses (an
+        # unsalted probe compiles a different program and the stage
+        # then pays a second giant compile — r3 run-1 timed out here)
         NR = max(8, xp_nbytes // XU)
+        f = jax.jit(lambda c, l, s: xp_mod._encode_impl(c, l + s, XU))
         z = jnp.zeros((NR, XU), jnp.int32)
         zl = jnp.full((NR,), XU, jnp.int32)
-        jax.block_until_ready(
-            jax.jit(lambda c, l: xp_mod._encode_impl(c, l, XU))(z, zl))
+        jax.block_until_ready(f(z, zl, jnp.int32(0)))
+        res["enc_f"], res["XU"] = f, XU
 
-    XU = ladder("xp_XU", [65536, 32768, 16384], attempt, _log)
-    if XU is None:
+    if ladder("xp_XU", [65536, 32768, 16384], attempt, _log) is None:
         raise RuntimeError("no xpress unit width compiles")
+    XU, enc_f = res["XU"], res["enc_f"]
     out["xpress_unit"] = XU
     xp_units = [xp_data[i : i + XU] for i in range(0, xp_nbytes, XU)]
     NX = max(8, len(xp_units))
@@ -501,7 +507,6 @@ def stage_xpress(out: StageOut):
         xbl[i] = len(a)
     d_xb, d_xbl = jnp.asarray(xb), jnp.asarray(xbl)
 
-    enc_f = jax.jit(lambda c, l, s: xp_mod._encode_impl(c, l + s, XU))
     payload, plen = enc_f(d_xb, d_xbl, jnp.int32(0))
     jax.block_until_ready(plen)
     payload_h = np.asarray(payload)
@@ -557,15 +562,19 @@ def stage_xh_encode(out: StageOut):
     U = xh.BLOCK
     units = [xh_data[i : i + U] for i in range(0, len(xh_data), U)]
 
+    res = {}
+
     def attempt(ne):
+        f = jax.jit(lambda c, l, s: xh._encode_impl(c, l + s, U))
         z = jnp.zeros((ne, U), jnp.int32)
         zl = jnp.full((ne,), U, jnp.int32)
-        jax.block_until_ready(
-            jax.jit(lambda c, l: xh._encode_impl(c, l, U))(z, zl))
+        jax.block_until_ready(f(z, zl, jnp.int32(0)))
+        res["enc_f"], res["NE"] = f, ne
 
-    NE = ladder("xh_NE", _clamp_cands([256, 128, 64, 32], len(units)), attempt, _log)
-    if NE is None:
+    if ladder("xh_NE", _clamp_cands([256, 128, 64, 32], len(units)),
+              attempt, _log) is None:
         raise RuntimeError("no XH encode batch width compiles")
+    NE, enc_f = res["NE"], res["enc_f"]
     out["xh_enc_batch"] = NE
 
     enc_units = units[:NE]
@@ -578,7 +587,6 @@ def stage_xh_encode(out: StageOut):
         ub[i, : len(a)] = a
         ul[i] = len(a)
     d_ub, d_ul = jnp.asarray(ub), jnp.asarray(ul)
-    enc_f = jax.jit(lambda c, l, s: xh._encode_impl(c, l + s, U))
     payload, plen = enc_f(d_ub, d_ul, jnp.int32(0))
     jax.block_until_ready(plen)
     payload_h = np.asarray(payload)

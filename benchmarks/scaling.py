@@ -82,7 +82,7 @@ def build_pipelines(corpus_mb):
     from tpucomp.codecs import xpress_huff as xh
     from tpucomp.codecs.lznt1_expose import decode_batch_impl, encode_batch_impl
 
-    data = silesia_like(corpus_mb << 20)
+    data = silesia_like(int(corpus_mb * (1 << 20)))
     nbytes = len(data)
 
     def rows_for(u):
@@ -241,7 +241,7 @@ def main():
 
     from tpucomp.dist import data_mesh
 
-    corpus_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    corpus_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     devs = jax.devices()
     counts = [c for c in [1, 2, 4, 8, 16, 32] if c <= len(devs)]

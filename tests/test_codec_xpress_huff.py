@@ -113,4 +113,6 @@ class TestEncodeValidity:
         [s] = t_xh.compress_units([data], unit_size=16384)
         from tpucomp.oracle import xpress_huff as oxh
         s_o = oxh.compress(data)
-        assert len(s) <= len(s_o) * 1.2, (len(s), len(s_o))
+        # ratcheted gate (VERDICT r2 weak #3): measured 1.040 on this
+        # corpus at default effort; the BASELINE bar is <= oracle size
+        assert len(s) <= len(s_o) * 1.06, (len(s), len(s_o))
