@@ -248,6 +248,12 @@ def main():
     pipes = build_pipelines(corpus_mb)
     report = {"device": str(devs[0]), "corpus_mb_per_device": corpus_mb,
               "pipelines": {}}
+    if "cpu" in str(devs[0]).lower():
+        report["note"] = (
+            "virtual CPU mesh: the N 'devices' share this host's physical "
+            "cores (and XLA:CPU threads within each), so weak-scaling "
+            "efficiency measures GSPMD mechanics, not hardware scaling; "
+            "run on a TPU pod slice for BASELINE config 5 numbers")
     for name, make in pipes.items():
         if only and name not in only:
             continue
@@ -262,7 +268,7 @@ def main():
                 base = gbps
             rows.append({
                 "devices": nd,
-                "GBps": round(gbps, 4),
+                "GBps": round(gbps, 6),
                 "efficiency": round(gbps / (base * nd), 4),
             })
             print(f"# {name} nd={nd} {gbps:.4f} GB/s "

@@ -1216,13 +1216,20 @@ def _far_rounds(out, U, min_hop):
     # ~3% surviving tags); the dense full-row level runs last as the
     # mop-up (near-free once converged) and covers small U.
     levels = [(4096, 10)]
-    if N >= 256:
-        levels.append((16384, 8))
+    # (the 16 KiB dense level is gone: measured r3 profile at N=462 —
+    # its rounds cost 4x the 4 KiB level's MACs and resolved only 1.6M
+    # of 6.8M surviving tags; the compacted tiers below chase the
+    # cross-segment chains at tag-count cost instead)
     for S, cap in [(s, c) for s, c in levels
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
     if U > 16384:
-        out = _far_final_compacted(out, U, keep=max(2048, U // 8))
+        # two tiers: the small keep covers typical rows cheaply; the
+        # 3U/4 tier (cond-skipped when nothing is live) mops up
+        # pathological rows (periodic corpora tag most of a row)
+        out = _far_final_compacted(out, U, keep=max(2048, U // 4),
+                                   max_iters=4)
+        out = _far_final_compacted(out, U, keep=3 * U // 4, max_iters=3)
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
@@ -1230,16 +1237,15 @@ def _far_rounds(out, U, min_hop):
 def _far_final_compacted(out, U, keep, max_iters=6):
     """Full-row pointer-doubling rounds with TAGGED-QUERY COMPACTION.
 
-    Per round: the first ``keep`` tagged bytes per row left-compact
-    (monotone passes, traffic-bound), ONE MXU gather fetches their
-    current targets from the full row, and a monotone expand scatters
-    the fetched states back to the tagged byte positions (strictly
-    increasing: collision-free).  Gather MACs scale with ``keep``
-    instead of U, ~U/keep cheaper per round than the dense full-row
-    round; fetched states may themselves be tags, so rounds still
-    pointer-double.  Rows with more than ``keep`` tags resolve their
-    first ``keep`` per round and the rest in later rounds; anything
-    left after ``max_iters`` falls through to the caller's dense
+    The first ``keep`` tagged bytes per row left-compact ONCE (monotone
+    passes, traffic-bound) into a dense (dest, state) list; each round
+    then costs one MXU gather of the list's current sources from the
+    full row (MACs scale with ``keep``, not U) plus one monotone expand
+    writing the shortened/resolved states back to the table (so chains
+    through listed bytes keep pointer-doubling).  The r2 version
+    re-compacted EVERY round — hoisting it saved ~40 ms/round at
+    N=462/U=64 KiB (measured r3).  Rows with more than ``keep`` tags
+    leave the overflow tagged for the caller's next tier / dense
     mop-up level (correctness never depends on the iteration cap).
     """
     N = out.shape[0]
@@ -1249,23 +1255,26 @@ def _far_final_compacted(out, U, keep, max_iters=6):
     st = jnp.where(tagged0, (1 << 17) | (out & (FAR_TAG - 1)), out & 0x1FF)
     jpos1 = jnp.broadcast_to(
         jnp.arange(1, U + 1, dtype=jnp.int32)[None, :], (N, U))
+    (qp1, cur), valid = compact_monotone(
+        ~tagged0, (jpos1, st & 0x1FFFF), keep=keep)
+    cur = jnp.where(valid, (1 << 17) | cur, 0)
+    col = jnp.arange(keep, dtype=jnp.int32)[None, :]
+    shift = jnp.where(valid, qp1 - 1 - col, 0)
 
     def cond(state):
-        st, r = state
-        return jnp.any((st >> 17) == 1) & (r < max_iters)
+        st, cur, r = state
+        return jnp.any((cur >> 17) == 1) & (r < max_iters)
 
     def round_(state):
-        st, r = state
-        live = (st >> 17) == 1
-        (qp1, tg), valid = compact_monotone(
-            ~live, (jpos1, st & 0x1FFFF), keep=keep)
-        fetched = mxu_gather_rows(st, jnp.where(valid, tg, 0), nbits=18)
-        col = jnp.arange(keep, dtype=jnp.int32)[None, :]
-        shift = jnp.where(valid, qp1 - 1 - col, 0)
-        (vals,), placed = expand_monotone(~valid, (fetched,), shift, U)
-        return jnp.where(placed, vals, st), r + 1
+        st, cur, r = state
+        live = (cur >> 17) == 1
+        fetched = mxu_gather_rows(
+            st, jnp.where(live, cur & 0x1FFFF, 0), nbits=18)
+        cur = jnp.where(live, fetched, cur)
+        (vals,), placed = expand_monotone(~valid, (cur,), shift, U)
+        return jnp.where(placed, vals, st), cur, r + 1
 
-    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+    st, _, _ = lax.while_loop(cond, round_, (st, cur, jnp.int32(0)))
     live = (st >> 17) == 1
     return jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
 
