@@ -437,3 +437,24 @@ def test_far_rounds_compacted_final_level():
             if want[n, j] & FAR_TAG:
                 want[n, j] = want[n, want[n, j] & (FAR_TAG - 1)]
     assert (got == want).all()
+
+
+def test_gather_rows_fused_matches_xla(rng):
+    """Fused Pallas gather (interpret) == mxu_gather_rows semantics."""
+    import numpy as np
+
+    from tpucomp.kernels.common import mxu_gather_rows
+    from tpucomp.kernels.gather_pallas import gather_rows_fused
+
+    N, K, Q = 3, 16384 + 77, 1500
+    data = np.array(
+        [[rng.randrange(1 << 18) for _ in range(K)] for _ in range(N)],
+        np.int32)
+    idx = np.array(
+        [[rng.randrange(-5, K + 200) for _ in range(Q)] for _ in range(N)],
+        np.int32)
+    want = np.asarray(mxu_gather_rows(jnp.asarray(data), jnp.asarray(idx),
+                                      nbits=18))
+    got = np.asarray(gather_rows_fused(jnp.asarray(data), jnp.asarray(idx),
+                                       nbits=18, interpret=True))
+    assert (got == want).all()

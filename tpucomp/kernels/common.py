@@ -867,8 +867,20 @@ def mxu_gather_rows(data, idx, qchunk=1024, nbits=32):
     contraction dims); s8 dots measured 6x slower than bf16 (XLA does
     not put them on the MXU here) — both 2026-08-19.
     """
+    from ..util import pallas_mode
+
     N, K = data.shape
     Q = idx.shape[1]
+    # big-table gathers route to the fused Pallas kernel: the XLA form
+    # materializes each [Q, 128] plane-dot to HBM before the lane
+    # select, and that round-trip (not the MACs) dominated the r3 dense
+    # far rounds.  Small K stays here (thin dots underfill the MXU).
+    gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
+    if gmode is not None and K >= 16384:
+        from .gather_pallas import gather_rows_fused
+
+        return gather_rows_fused(data, idx, nbits=nbits,
+                                 interpret=(gmode == "interpret"))
     R = -(-K // 128)
     nplanes = min(4, -(-nbits // 8))
     # bound the per-chunk dot output [N, qchunk, 128] f32 to ~1 GB: at
@@ -1215,21 +1227,21 @@ def _far_rounds(out, U, min_hop):
     # — the dense full-row round measured ~25 ms on a 3.6 MB bucket vs
     # ~3% surviving tags); the dense full-row level runs last as the
     # mop-up (near-free once converged) and covers small U.
-    levels = [(4096, 10)]
+    levels = [(4096, 6)]
     # (the 16 KiB dense level is gone: measured r3 profile at N=462 —
     # its rounds cost 4x the 4 KiB level's MACs and resolved only 1.6M
-    # of 6.8M surviving tags; the compacted tiers below chase the
-    # cross-segment chains at tag-count cost instead)
+    # of 6.8M surviving tags.  A compacted keep>=U/2 tier is no cheaper
+    # than the dense row either — gather MACs scale with keep — so the
+    # schedule is: cheap 4 KiB in-segment rounds, ONE U/4-keep
+    # compacted tier for typical rows, then cond-driven dense rounds
+    # as the mop-up for pathological (periodic) rows that tag most of
+    # the row.)
     for S, cap in [(s, c) for s, c in levels
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
     if U > 16384:
-        # two tiers: the small keep covers typical rows cheaply; the
-        # 3U/4 tier (cond-skipped when nothing is live) mops up
-        # pathological rows (periodic corpora tag most of a row)
         out = _far_final_compacted(out, U, keep=max(2048, U // 4),
-                                   max_iters=4)
-        out = _far_final_compacted(out, U, keep=3 * U // 4, max_iters=3)
+                                   max_iters=3)
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
