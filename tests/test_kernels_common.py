@@ -458,3 +458,37 @@ def test_gather_rows_fused_matches_xla(rng):
     got = np.asarray(gather_rows_fused(jnp.asarray(data), jnp.asarray(idx),
                                        nbits=18, interpret=True))
     assert (got == want).all()
+
+
+def test_hash_best_match_equals_unfused(rng):
+    """hash_best_match == hash_candidates + multi_matchlens + max-merge
+    (same candidates, lengths, tie-breaks)."""
+    import numpy as np
+
+    from tpucomp.kernels.common import (
+        hash_best_match, hash_candidates, le_words, multi_matchlens)
+
+    N, n = 4, 2048
+    base = bytes(rng.randrange(4) for _ in range(n))  # match-heavy
+    x = np.frombuffer((base * N)[: N * n], np.uint8).astype(np.int32)
+    x = x.reshape(N, n)
+    xd = jnp.asarray(x)
+    for max_disp in (None, 512):
+        bl, bd = hash_best_match(xd, n, hash_bits=11, num_cands=3, cap=16,
+                                 max_disp=max_disp)
+        w = le_words(xd)
+        pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+        cands = hash_candidates(xd, hash_bits=11, num_cands=3)
+        valids = [c >= 0 if max_disp is None else ((c >= 0) & (pos - c <= max_disp))
+                  for c in cands]
+        mls = multi_matchlens(w, cands, valids, n, cap=16)
+        ebl = jnp.zeros((N, n), jnp.int32)
+        ebd = jnp.ones((N, n), jnp.int32)
+        for c, v, ml in zip(cands, valids, mls):
+            mlv = jnp.where(v, ml, 0)
+            better = v & (mlv > ebl)
+            ebl = jnp.where(better, mlv, ebl)
+            ebd = jnp.where(better, pos - c, ebd)
+        assert (np.asarray(bl) == np.asarray(ebl)).all(), max_disp
+        sel = np.asarray(ebl) > 0
+        assert (np.asarray(bd)[sel] == np.asarray(ebd)[sel]).all(), max_disp

@@ -45,10 +45,8 @@ from jax import lax
 from ..errors import DataError
 from ..util import pallas_mode
 from ..kernels.common import (
-    multi_matchlens,
+    hash_best_match,
     fill_records_delta,
-    hash_candidates,
-    le_words,
     place_monotone,
     resolve_copies,
     run_matchlens,
@@ -248,15 +246,13 @@ def encode_batch(chunks, clen):
     for d, ml in zip(run_disps, run_matchlens(chunks, run_disps)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
 
-    # hash candidates, scored by capped word-compare
-    w = le_words(chunks)
-    cands = hash_candidates(chunks, pos_bits=12,
-                            hash_bits=_CFG.match.hash_bits,
-                            num_cands=_CFG.match.num_candidates)
-    cvalids = [c >= 0 for c in cands]
-    mls = multi_matchlens(w, cands, cvalids, n, cap=_CFG.match.cap)
-    for cand, valid, ml in zip(cands, cvalids, mls):
-        consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
+    # hash candidates scored by capped word-compare, fused in sort
+    # order (hash_best_match: no separate fill_gather)
+    hl, hd = hash_best_match(chunks, n, pos_bits=12,
+                             hash_bits=_CFG.match.hash_bits,
+                             num_cands=_CFG.match.num_candidates,
+                             cap=_CFG.match.cap)
+    consider(hl, hd, hl >= MIN_MATCH)
 
     # clip to format + chunk limits
     max_here = jnp.minimum(l_mask + MIN_MATCH, in_len - pos)

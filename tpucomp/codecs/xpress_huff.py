@@ -42,13 +42,11 @@ from jax import lax
 from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
-    multi_matchlens,
+    hash_best_match,
     fill_records_delta,
     fill_records_delta2,
     greedy_commit,
-    hash_candidates,
     histogram_matmul,
-    le_words,
     mxu_gather_rows,
     place_monotone,
     resolve_copies,
@@ -484,13 +482,10 @@ def _encode_impl(units, ulen, U):
     run_disps = _CFG.match.run_disps
     for d, ml in zip(run_disps, run_matchlens(units, run_disps)):
         consider(ml, jnp.full((N, n), d, jnp.int32), ml >= MIN_MATCH)
-    w = le_words(units)
-    cands = hash_candidates(units, hash_bits=_CFG.match.hash_bits,
-                            num_cands=_CFG.match.num_candidates)
-    cvalids = [c >= 0 for c in cands]
-    mls = multi_matchlens(w, cands, cvalids, n, cap=_CFG.match.cap)
-    for cand, valid, ml in zip(cands, cvalids, mls):
-        consider(ml, pos - cand, valid & (ml >= MIN_MATCH))
+    hl, hd = hash_best_match(units, n, hash_bits=_CFG.match.hash_bits,
+                             num_cands=_CFG.match.num_candidates,
+                             cap=_CFG.match.cap)
+    consider(hl, hd, hl >= MIN_MATCH)
 
     best_len = jnp.minimum(best_len, in_len - pos)
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)

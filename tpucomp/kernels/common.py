@@ -1017,6 +1017,8 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
     order (the inverse permutation, gather-side).  Returns ``num_cands``
     arrays of candidate positions (-1 where none).
     """
+    if num_cands <= 0:
+        return []  # effort knob num_candidates = 0: no hash search
     N, n = x.shape
     if pos_bits is None:
         pos_bits = max(1, (n - 1).bit_length())
@@ -1041,6 +1043,65 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
     return out[1:]
 
 
+def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
+                    pos_bits=None, max_disp=None):
+    """Best hash-chain match per position, computed IN SORT ORDER.
+
+    Fuses hash_candidates + multi_matchlens: the cap/4 comparison words
+    ride the hash sort as extra planes, so every candidate's words are
+    a k-roll of its sort neighbors — the separate (4n-wide, ~11-plane)
+    fill_gather that dominated encode (156 of 214 ms at N=2048 x 4 KiB,
+    measured r3) disappears.  Returns (best_len, best_disp): longest
+    capped match among the ``num_cands`` most recent same-hash earlier
+    positions (ties -> most recent), (0, 1) where none.  Candidate set,
+    lengths and tie-breaks are identical to the unfused pair.
+    """
+    N, nx = x.shape
+    if num_cands <= 0:
+        z = jnp.zeros((N, n), jnp.int32)
+        return z, jnp.ones((N, n), jnp.int32)
+    if pos_bits is None:
+        pos_bits = max(1, (n - 1).bit_length())
+    nwords = cap // 4
+    w = le_words(x)
+    tri = (
+        x | (jnp.roll(x, -1, axis=1) << 8) | (jnp.roll(x, -2, axis=1) << 16)
+    ).astype(jnp.uint32)
+    h = ((tri * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - hash_bits)).astype(
+        jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
+    key = (h << pos_bits) | pos
+    shifted = tuple(jnp.roll(w, -4 * t, axis=1) for t in range(nwords))
+    srt = sort_rows((key, pos, *shifted), num_keys=1)
+    skey, spos, sw = srt[0], srt[1], srt[2:]
+    sh = skey >> pos_bits
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    best_len = jnp.zeros((N, n), jnp.int32)
+    best_disp = jnp.ones((N, n), jnp.int32)
+    for k in range(1, num_cands + 1):
+        cand = jnp.roll(spos, k, axis=1)
+        ok = (idx >= k) & (jnp.roll(sh, k, axis=1) == sh)
+        if max_disp is not None:  # format window (e.g. XPRESS 8 KiB)
+            ok = ok & (spos - cand <= max_disp)
+        total = jnp.zeros((N, n), jnp.int32)
+        alive = ok
+        for t in range(nwords):
+            off = 4 * t
+            v = sw[t] ^ jnp.roll(sw[t], k, axis=1)
+            tz = 32 - lax.clz(v & -v) - 1  # masked below where v == 0
+            agree = jnp.where(v == 0, 4, tz >> 3)
+            clip_m = ((spos + off) > (n - 4)) | (cand + off > n - 4)
+            agree = jnp.where(clip_m, 0, agree)
+            total = total + jnp.where(alive, agree, 0)
+            alive = alive & (v == 0) & ~clip_m
+        ml = jnp.where(ok, total, 0)
+        better = ok & (ml > best_len)
+        best_len = jnp.where(better, ml, best_len)
+        best_disp = jnp.where(better, spos - cand, best_disp)
+    out = sort_rows((spos, best_len, best_disp), num_keys=1)
+    return out[1], out[2]
+
+
 def capped_matchlen(w, cand, valid, n, cap=16):
     """Match length (≤ cap) of each row vs itself at candidate positions
     (single-candidate wrapper over multi_matchlens)."""
@@ -1059,6 +1120,8 @@ def multi_matchlens(w, cands, valids, n, cap=16):
     tail earn no credit (always safe: the measured prefix is verified
     equal).
     """
+    if not cands:
+        return []  # num_candidates = 0: run matcher only
     N = w.shape[0]
     K = len(cands)
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
