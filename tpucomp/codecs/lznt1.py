@@ -269,29 +269,44 @@ def encode_batch(chunks, clen):
     lazy = is_match & (next_bl > best_len)
     use_match = is_match & ~lazy
 
-    def fwd_step(carry, xs):
-        nc, tcnt, dbytes = carry
-        pcol, adv, ismatch, okpos = xs
-        commit = (pcol == nc) & okpos
-        nc2 = jnp.where(commit, pcol + jnp.where(ismatch, adv, 1), nc)
-        iscp = commit & ismatch
-        t_after = tcnt + commit.astype(jnp.int32)
-        d_after = dbytes + jnp.where(iscp, 2, commit.astype(jnp.int32))
-        return (nc2, t_after, d_after), (commit, iscp, t_after, dbytes)
+    kmode = pallas_mode("TPUCOMP_COMMIT_PALLAS")
+    if kmode is not None:
+        # in-kernel walk emits the layout prefix sums too: the fused
+        # XLA commit+layout scan below cost ~30 of 54 ms at N=2048
+        from ..kernels import lz_pallas
 
-    pcols = pos.T  # [n, N]
-    xs = (
-        pcols,
-        step_adv.T,
-        use_match.T,
-        (pos < in_len).T,
-    )
-    init = (jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32))
-    (nc_f, T_total, data_total), ys = lax.scan(fwd_step, init, xs)
-    committed_T, iscp_T, t_after_T, data_before_T = ys
-    committed = committed_T.T  # [N, n]
-    t_after = t_after_T.T  # tokens committed up to and including p
-    data_before = data_before_T.T
+        committed, t_after, data_before = lz_pallas.greedy_commit_layout(
+            use_match, best_len, pos < in_len,
+            interpret=(kmode == "interpret"))
+        T_total = t_after[:, -1]
+        last_c = committed[:, -1].astype(jnp.int32)
+        data_total = (data_before[:, -1] + last_c
+                      + last_c * use_match[:, -1].astype(jnp.int32))
+    else:
+        def fwd_step(carry, xs):
+            nc, tcnt, dbytes = carry
+            pcol, adv, ismatch, okpos = xs
+            commit = (pcol == nc) & okpos
+            nc2 = jnp.where(commit, pcol + jnp.where(ismatch, adv, 1), nc)
+            iscp = commit & ismatch
+            t_after = tcnt + commit.astype(jnp.int32)
+            d_after = dbytes + jnp.where(iscp, 2, commit.astype(jnp.int32))
+            return (nc2, t_after, d_after), (commit, iscp, t_after, dbytes)
+
+        pcols = pos.T  # [n, N]
+        xs = (
+            pcols,
+            step_adv.T,
+            use_match.T,
+            (pos < in_len).T,
+        )
+        init = (jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32),
+                jnp.zeros(N, jnp.int32))
+        (nc_f, T_total, data_total), ys = lax.scan(fwd_step, init, xs)
+        committed_T, _, t_after_T, data_before_T = ys
+        committed = committed_T.T  # [N, n]
+        t_after = t_after_T.T  # tokens committed up to and including p
+        data_before = data_before_T.T
 
     # ---- byte assembly: the stream is a partition (each payload byte
     # written exactly once) and every record stream is sorted by its
