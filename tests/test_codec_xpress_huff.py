@@ -116,3 +116,17 @@ class TestEncodeValidity:
         # ratcheted gate (VERDICT r2 weak #3): measured 1.040 on this
         # corpus at default effort; the BASELINE bar is <= oracle size
         assert len(s) <= len(s_o) * 1.06, (len(s), len(s_o))
+
+
+def test_encode_batch_cap_slices(corpus, monkeypatch):
+    """Batches wider than config.encode_batch_cap split into capped
+    dispatches with identical per-unit streams (the dev chip's remote
+    compiler dies on very wide encode programs)."""
+    from tpucomp.config import DEFAULT as CFG
+
+    data = corpus(40960)
+    units = [data[i : i + 4096] for i in range(0, len(data), 4096)]
+    full = t_xh.compress_units(units, unit_size=4096)
+    monkeypatch.setattr(CFG, "encode_batch_cap", 0)  # cap floor = 8 rows
+    sliced = t_xh.compress_units(units, unit_size=4096)
+    assert sliced == full

@@ -671,6 +671,19 @@ def compress_units(units_data, unit_size=BLOCK, jitter=None, pad_to=None,
     ``gather``: see dist.ShardedCodec."""
     if not units_data:
         return []
+    from ..config import DEFAULT as _CFG
+
+    # cap the widest single encode dispatch (config.encode_batch_cap —
+    # the remote AOT compiler dies on 256-row 64 KiB encode programs);
+    # slices share ONE compile and keep any mesh multiple
+    g = pad_to or 8
+    cap = max(g, (_CFG.encode_batch_cap * 65536) // unit_size // g * g)
+    if pad_batch(len(units_data), pad_to) > cap:
+        out = []
+        for i in range(0, len(units_data), cap):
+            out += compress_units(units_data[i : i + cap], unit_size,
+                                  jitter, cap, gather)
+        return out
     N = pad_batch(len(units_data), pad_to)
     units = np.zeros((N, unit_size), np.int32)
     ulen = np.zeros(N, np.int32)

@@ -47,6 +47,12 @@ class Config:
     batch_multiple: int = int(os.environ.get("TPUCOMP_BATCH_MULTIPLE", "256"))
     xpress_unit_size: int = 65536  # batch-mode segment size (plain Xpress)
     xh_unit_size: int = 65536  # <= 65536 (single block per unit)
+    # Widest single ENCODE dispatch for 64 KiB-unit formats: wider
+    # batches are processed in encode_batch_cap-row slices (one compile,
+    # reused).  The dev chip's remote AOT compiler dies on the 256-row
+    # XH/Xpress encode programs (bench ladder evidence, rounds 2-3);
+    # per-dispatch work at 128 rows is 8 MiB — the lanes are full.
+    encode_batch_cap: int = int(os.environ.get("TPUCOMP_ENCODE_CAP", "128"))
     match: MatchFinderConfig = field(default_factory=MatchFinderConfig)
     resolve: ResolveConfig = field(default_factory=ResolveConfig)
     emit_lznt1_terminator: bool = False
