@@ -244,23 +244,6 @@ def host_chained(fn, args, reps=4):
     return salted_reps(jax.jit(fn), args, reps)
 
 
-def dispatch_floor(args, reps=6):
-    """Measured per-rep cost of a near-empty salted dispatch through the
-    tunnel (~35 ms RTT on this dev chip).  Host-level salted timing adds
-    this floor to every rep; stages subtract it (bounded to half the
-    measurement) and report both the floor and the raw value."""
-    import jax
-    import jax.numpy as jnp
-
-    f = jax.jit(lambda *a: jnp.min(a[0][:2, :2]) * 0 + a[-1])
-    return salted_reps(f, args, reps)
-
-
-def floor_corrected(t, fl):
-    """Subtract the dispatch floor, never past half the measurement."""
-    return max(t - fl, t * 0.5)
-
-
 def _setup_jax():
     import jax
 
@@ -472,10 +455,10 @@ def stage_xh_decode(out: StageOut):
             assert got[k, : len(units[i])].tobytes() == units[i], (
                 f"xh decode mismatch on unit {i}")
         sel_bytes = sum(len(units[i]) for i in rows)
-        t = salted_reps(lambda p, l, o, s: f(p, l, o, s)[0], d, reps=4)
-        fl = dispatch_floor(d)
-        out["xh_dec_dispatch_floor_ms"] = round(fl * 1e3, 2)
-        return sel_bytes / floor_corrected(t, fl)
+        t = chained(
+            lambda p, l, o, s: xh._decode_impl(
+                p, l, o + s, U, ss_major, mode, rc_major)[0], d, reps=2)
+        return sel_bytes / t
 
     res = {}
 
@@ -538,12 +521,10 @@ def stage_xpress(out: StageOut):
         for i in range(len(xp_units))
     ]
     out["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / xp_nbytes, 4)
-    t_enc_xp = salted_reps(
-        lambda c, l, s: enc_f(c, l, s)[1], (d_xb, d_xbl), reps=4)
-    fl = dispatch_floor((d_xb, d_xbl))
-    out["dispatch_floor_ms"] = round(fl * 1e3, 2)
-    out["xpress_encode_GBps"] = round(
-        xp_nbytes / floor_corrected(t_enc_xp, fl) / 1e9, 4)
+    t_enc_xp = chained(
+        lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1],
+        (d_xb, d_xbl), reps=2)
+    out["xpress_encode_GBps"] = round(xp_nbytes / t_enc_xp / 1e9, 4)
 
     PX = min(
         xp_mod.max_payload(XU),
@@ -569,12 +550,10 @@ def stage_xpress(out: StageOut):
     recon = b"".join(
         got[i, : len(xp_units[i])].tobytes() for i in range(len(xp_units)))
     assert recon == xp_data, "xpress roundtrip mismatch"
-    t_dec_xp = salted_reps(
-        lambda p, l, o, s: dec_f(p, l, o, s)[0][:, 0],
-        (d_xpp, d_xpl, d_xpo), reps=4)
-    out["xpress_decode_GBps"] = round(
-        xp_nbytes / floor_corrected(t_dec_xp, dispatch_floor(
-            (d_xpp, d_xpl, d_xpo))) / 1e9, 4)
+    t_dec_xp = chained(
+        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode)[0],
+        (d_xpp, d_xpl, d_xpo), reps=2)
+    out["xpress_decode_GBps"] = round(xp_nbytes / t_dec_xp / 1e9, 4)
 
 
 def stage_xh_encode(out: StageOut):
@@ -626,13 +605,10 @@ def stage_xh_encode(out: StageOut):
         assert _native.xh_decompress(s, len(u)) == u, (
             f"native cannot decode TPU XH stream {i}")
     out["xh_ratio"] = round(comp / enc_bytes, 4)
-    t_enc_xh = salted_reps(
-        lambda c, l, s: enc_f(c, l, s)[1], (d_ub, d_ul), reps=4)
-    fl = dispatch_floor((d_ub, d_ul))
-    out["dispatch_floor_ms"] = round(fl * 1e3, 2)
-    out["xh_encode_raw_GBps"] = round(enc_bytes / t_enc_xh / 1e9, 4)
-    out["xh_encode_GBps"] = round(
-        enc_bytes / floor_corrected(t_enc_xh, fl) / 1e9, 4)
+    t_enc_xh = chained(
+        lambda c, l, s: xh._encode_impl(c, l + s, U)[1],
+        (d_ub, d_ul), reps=2)
+    out["xh_encode_GBps"] = round(enc_bytes / t_enc_xh / 1e9, 4)
 
 
 def stage_ratio_vs_ref(out: StageOut):
