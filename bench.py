@@ -25,11 +25,11 @@ timed out with ZERO numbers because one bad compile burned the budget):
   last, stage.
 
 Methodology: the dev chip is reached through a network tunnel whose
-runtime elides repeated identical dispatches and has ~35 ms dispatch RTT,
-so either reps are chained INSIDE one jitted program (`chained`, used
-where per-rep device time is small), or dependent salted dispatches are
-timed at host level (`salted_reps`, used where per-rep device time
-dwarfs the RTT).  Correctness is gated before timing in every stage.
+runtime elides repeated identical dispatches and adds ~80-180 ms of
+dependency latency per host-level dispatch, so EVERY timed pipeline
+runs rep-chained INSIDE one jitted program (`chained` — an opaque
+runtime-zero salt defeats both loop hoisting and dispatch elision).
+Correctness is gated before timing in every stage.
 """
 
 import json
@@ -148,8 +148,8 @@ def ladder(key, cands, attempt_fn, log=None):
 # timing harnesses
 # --------------------------------------------------------------------------
 
-def chained(fn, args, reps=4):
-    """Build+run fn chained `reps` times in ONE dispatch; return s/rep.
+def _chained_run(fn, reps):
+    """One jitted program executing fn `reps` times with an opaque salt.
 
     Two traps this form dodges (both measured 2026-08-19):
     * the iteration salt is ``sum(min(leaf))*zero`` with ``zero`` a
@@ -175,73 +175,63 @@ def chained(fn, args, reps=4):
             s = acc * zero
         return s
 
+    return run
+
+
+def _time_run(run, args, trials=1):
+    """Warm `run`, then time `trials` dispatches; return the MIN total
+    seconds (the stable lower envelope of the tunnel's jitter)."""
+    import jax
+    import jax.numpy as jnp
+
     z = jnp.int32(0)
     r = run(z, *args)
     r.block_until_ready()
     _ = np.asarray(r)  # force full completion through the tunnel
-    t0 = time.perf_counter()
-    r = run(z, *args)
-    _ = np.asarray(r)
-    return (time.perf_counter() - t0) / reps
-
-
-def chained_multi(fn, args_list, reps=4):
-    """`chained` over several same-shape arg tuples, tracing the
-    rep-unrolled program ONCE (per-slice re-tracing of these giant
-    graphs cost minutes and timed out the round-3 lznt1 stage)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(zero, *a):
-        s = jnp.int32(0)
-        for _ in range(reps):
-            outs = fn(*a, s)
-            acc = zero
-            for leaf in jax.tree_util.tree_leaves(outs):
-                acc = acc + jnp.min(leaf).astype(jnp.int32)
-            s = acc * zero
-        return s
-
-    z = jnp.int32(0)
-    total = 0.0
-    for i, args in enumerate(args_list):
-        r = run(z, *args)
-        r.block_until_ready()
-        _ = np.asarray(r)
+    best = None
+    for _t in range(trials):
         t0 = time.perf_counter()
         r = run(z, *args)
         _ = np.asarray(r)
-        total += (time.perf_counter() - t0) / reps
-    return total
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
-def salted_reps(f, args, reps=4):
-    """Time dependent salted dispatches of an ALREADY-WARM jitted f whose
-    last positional arg is an int32 salt.  ~35 ms tunnel RTT rides on
-    each rep — use only where per-rep device time dwarfs it (the big XH
-    programs, whose rep-unrolled variants are compile-size hazards)."""
-    import jax
-    import jax.numpy as jnp
-
-    salt = jnp.int32(0)
-    r = f(*args, salt)
-    jax.block_until_ready(r)
-    _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-    t0 = time.perf_counter()
-    for _i in range(reps):
-        r = f(*args, salt)
-        salt = jnp.min(jax.tree_util.tree_leaves(r)[0]).astype(jnp.int32) * 0
-    jax.block_until_ready((r, salt))
-    _ = np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
-    return (time.perf_counter() - t0) / reps
+def chained(fn, args, reps=4, trials=1):
+    """Per-rep seconds of fn, rep-chained in ONE dispatch."""
+    return _time_run(_chained_run(fn, reps), args, trials) / reps
 
 
-def host_chained(fn, args, reps=4):
-    """jit fn then salted-rep it (fn's last arg is the salt)."""
-    import jax
+def chained_slope(fn, args, reps_lo=2, trials=3):
+    """Per-rep device seconds by TWO-POINT DIFFERENCING: one dispatch
+    carries a constant ~30-80 ms tunnel submit+sync floor (measured
+    r3: an empty chained program costs ~31 ms at any rep count), which
+    dominates fast pipelines; timing the same body at R and 2R reps and
+    differencing cancels the floor exactly.  Guard: never report more
+    than 20x the raw (floor-inclusive) rate — if the difference is
+    noise-dominated the raw number stands."""
+    t_lo = _time_run(_chained_run(fn, reps_lo), args, trials)
+    t_hi = _time_run(_chained_run(fn, 2 * reps_lo), args, trials)
+    raw = t_hi / (2 * reps_lo)
+    return max((t_hi - t_lo) / reps_lo, raw * 0.05), raw
 
-    return salted_reps(jax.jit(fn), args, reps)
+
+def chained_multi_slope(fn, args_list, reps_lo=4, trials=3):
+    """`chained_slope` over several same-shape arg tuples, building the
+    two rep-unrolled programs ONCE (per-slice re-tracing of these giant
+    graphs cost minutes and timed out the round-3 lznt1 stage).
+    Returns (sum of per-slice slope times, sum of raw times)."""
+    run_lo = _chained_run(fn, reps_lo)
+    run_hi = _chained_run(fn, 2 * reps_lo)
+    total = raw_total = 0.0
+    for args in args_list:
+        t_lo = _time_run(run_lo, args, trials)
+        t_hi = _time_run(run_hi, args, trials)
+        raw = t_hi / (2 * reps_lo)
+        total += max((t_hi - t_lo) / reps_lo, raw * 0.05)
+        raw_total += raw
+    return total, raw_total
 
 
 def _setup_jax():
@@ -339,9 +329,10 @@ def stage_lznt1(out: StageOut):
         payloads.append(pp)
         plens.append(ll)
     jax.block_until_ready((payloads, plens))
-    t_enc_lz = chained_multi(
-        lambda c, l, s: encode_batch_impl(c, l + s)[1], slices)
+    t_enc_lz, raw_enc = chained_multi_slope(
+        lambda c, l, s: encode_batch_impl(c + s, l)[1], slices)
     out["lznt1_encode_GBps"] = round(nbytes / t_enc_lz / 1e9, 4)
+    out["lznt1_encode_raw_GBps"] = round(nbytes / raw_enc / 1e9, 4)
     payload_h = np.concatenate([np.asarray(p) for p in payloads], axis=0)
     plen_h = np.concatenate([np.asarray(p) for p in plens], axis=0)
 
@@ -378,9 +369,10 @@ def stage_lznt1(out: StageOut):
         ol = np.asarray(out_lens)
         recon_parts += [got[i, : int(ol[i])].tobytes() for i in range(hi - lo)]
     assert b"".join(recon_parts) == data, "lznt1 decode mismatch"
-    t_dec_lz = chained_multi(
-        lambda p, l, c, s: decode_batch_impl(p, l + s, c)[1], dec_slices)
+    t_dec_lz, raw_dec = chained_multi_slope(
+        lambda p, l, c, s: decode_batch_impl(p + s, l, c)[1], dec_slices)
     out["lznt1_decode_GBps"] = round(nbytes / t_dec_lz / 1e9, 4)
+    out["lznt1_decode_raw_GBps"] = round(nbytes / raw_dec / 1e9, 4)
 
 
 def stage_xh_decode(out: StageOut):
@@ -455,9 +447,10 @@ def stage_xh_decode(out: StageOut):
             assert got[k, : len(units[i])].tobytes() == units[i], (
                 f"xh decode mismatch on unit {i}")
         sel_bytes = sum(len(units[i]) for i in rows)
-        t = chained(
+        t, raw = chained_slope(
             lambda p, l, o, s: xh._decode_impl(
-                p, l, o + s, U, ss_major, mode, rc_major)[0], d, reps=2)
+                p + s, l, o, U, ss_major, mode, rc_major)[0], d, reps_lo=2)
+        out["xh_decode_raw_GBps"] = round(sel_bytes / raw / 1e9, 4)
         return sel_bytes / t
 
     res = {}
@@ -521,10 +514,11 @@ def stage_xpress(out: StageOut):
         for i in range(len(xp_units))
     ]
     out["xpress_ratio"] = round(sum(len(s) for s in xp_streams) / xp_nbytes, 4)
-    t_enc_xp = chained(
-        lambda c, l, s: xp_mod._encode_impl(c, l + s, XU)[1],
-        (d_xb, d_xbl), reps=2)
+    t_enc_xp, raw = chained_slope(
+        lambda c, l, s: xp_mod._encode_impl(c + s, l, XU)[1],
+        (d_xb, d_xbl), reps_lo=2)
     out["xpress_encode_GBps"] = round(xp_nbytes / t_enc_xp / 1e9, 4)
+    out["xpress_encode_raw_GBps"] = round(xp_nbytes / raw / 1e9, 4)
 
     PX = min(
         xp_mod.max_payload(XU),
@@ -550,10 +544,11 @@ def stage_xpress(out: StageOut):
     recon = b"".join(
         got[i, : len(xp_units[i])].tobytes() for i in range(len(xp_units)))
     assert recon == xp_data, "xpress roundtrip mismatch"
-    t_dec_xp = chained(
-        lambda p, l, o, s: xp_mod._decode_impl(p, l, o + s, XU, xp_mode)[0],
-        (d_xpp, d_xpl, d_xpo), reps=2)
+    t_dec_xp, raw = chained_slope(
+        lambda p, l, o, s: xp_mod._decode_impl(p + s, l, o, XU, xp_mode)[0],
+        (d_xpp, d_xpl, d_xpo), reps_lo=2)
     out["xpress_decode_GBps"] = round(xp_nbytes / t_dec_xp / 1e9, 4)
+    out["xpress_decode_raw_GBps"] = round(xp_nbytes / raw / 1e9, 4)
 
 
 def stage_xh_encode(out: StageOut):
@@ -605,10 +600,11 @@ def stage_xh_encode(out: StageOut):
         assert _native.xh_decompress(s, len(u)) == u, (
             f"native cannot decode TPU XH stream {i}")
     out["xh_ratio"] = round(comp / enc_bytes, 4)
-    t_enc_xh = chained(
-        lambda c, l, s: xh._encode_impl(c, l + s, U)[1],
-        (d_ub, d_ul), reps=2)
+    t_enc_xh, raw = chained_slope(
+        lambda c, l, s: xh._encode_impl(c + s, l, U)[1],
+        (d_ub, d_ul), reps_lo=2)
     out["xh_encode_GBps"] = round(enc_bytes / t_enc_xh / 1e9, 4)
+    out["xh_encode_raw_GBps"] = round(enc_bytes / raw / 1e9, 4)
 
 
 def stage_ratio_vs_ref(out: StageOut):

@@ -68,7 +68,7 @@ def main():
                              jnp.arange(n)[None, :] < l[:, None])
 
     def stage_full(c, l, s):
-        return encode_batch_impl(c, l + s)[1]
+        return encode_batch_impl(c + s, l)[1]
 
     def timeit(name, fn, *args):
         @jax.jit

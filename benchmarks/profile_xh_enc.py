@@ -104,19 +104,21 @@ def main():
             packed_tbl, jnp.minimum(sym, xh.NUM_SYMBOLS - 1), nbits=20)
 
     def stage_full(units, ulen, s):
-        return xh._encode_impl(units, ulen + s, U)
+        return xh._encode_impl(units + s, ulen, U)
 
     def timeit(name, fn, *args):
+        # PYTHON-UNROLLED reps: fori-wrapped variants compile
+        # pathologically slowly through the remote AOT helper
         @jax.jit
         def run(zero, *a):
-            def body(i, sal):
+            sal = jnp.int32(0)
+            for _ in range(reps):
                 out = fn(*a, sal)
                 acc = zero
                 for leaf in jax.tree_util.tree_leaves(out):
                     acc = acc + jnp.min(leaf).astype(jnp.int32)
-                return acc * zero
-
-            return lax.fori_loop(0, reps, body, jnp.int32(0))
+                sal = acc * zero
+            return sal
 
         z = jnp.int32(0)
         r = run(z, *args)
