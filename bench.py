@@ -214,7 +214,13 @@ def chained_slope(fn, args, reps_lo=2, trials=3):
     t_lo = _time_run(_chained_run(fn, reps_lo), args, trials)
     t_hi = _time_run(_chained_run(fn, 2 * reps_lo), args, trials)
     raw = t_hi / (2 * reps_lo)
-    return max((t_hi - t_lo) / reps_lo, raw * 0.05), raw
+    diff = t_hi - t_lo
+    if diff < max(0.003, 0.05 * t_hi):
+        # device time buried under the dispatch floor: the difference is
+        # below measurement noise — report the floor-capped raw value as
+        # an honest LOWER BOUND instead of a noise-derived estimate
+        return raw, raw
+    return diff / reps_lo, raw
 
 
 def chained_multi_slope(fn, args_list, reps_lo=4, trials=3):
@@ -229,7 +235,9 @@ def chained_multi_slope(fn, args_list, reps_lo=4, trials=3):
         t_lo = _time_run(run_lo, args, trials)
         t_hi = _time_run(run_hi, args, trials)
         raw = t_hi / (2 * reps_lo)
-        total += max((t_hi - t_lo) / reps_lo, raw * 0.05)
+        diff = t_hi - t_lo
+        # below-noise difference: raw lower bound (see chained_slope)
+        total += raw if diff < max(0.003, 0.05 * t_hi) else diff / reps_lo
         raw_total += raw
     return total, raw_total
 
