@@ -1291,67 +1291,18 @@ def _far_rounds(out, U, min_hop):
     # ~3% surviving tags); the dense full-row level runs last as the
     # mop-up (near-free once converged) and covers small U.
     levels = [(4096, 6)]
-    # (the 16 KiB dense level is gone: measured r3 profile at N=462 —
-    # its rounds cost 4x the 4 KiB level's MACs and resolved only 1.6M
-    # of 6.8M surviving tags.  A compacted keep>=U/2 tier is no cheaper
-    # than the dense row either — gather MACs scale with keep — so the
-    # schedule is: cheap 4 KiB in-segment rounds, ONE U/4-keep
-    # compacted tier for typical rows, then cond-driven dense rounds
-    # as the mop-up for pathological (periodic) rows that tag most of
-    # the row.)
+    # Schedule (r3 measured, N=462 x 64 KiB): cheap 4 KiB in-segment
+    # rounds (~7 ms each, resolve 38% of tags incl. deep local chains),
+    # then cond-driven DENSE full-row doubling rounds (~110 ms each,
+    # ~2-3 run).  Both the 16 KiB dense level (48 ms for 1.6M of 6.8M
+    # tags) and a U/4-keep compacted tier (3 iterations of gather +
+    # monotone expand cost ~195 ms MORE than the dense rounds they
+    # saved) measured as net losses and are gone.
     for S, cap in [(s, c) for s, c in levels
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
-    if U > 16384:
-        out = _far_final_compacted(out, U, keep=max(2048, U // 4),
-                                   max_iters=3)
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
-
-
-def _far_final_compacted(out, U, keep, max_iters=6):
-    """Full-row pointer-doubling rounds with TAGGED-QUERY COMPACTION.
-
-    The first ``keep`` tagged bytes per row left-compact ONCE (monotone
-    passes, traffic-bound) into a dense (dest, state) list; each round
-    then costs one MXU gather of the list's current sources from the
-    full row (MACs scale with ``keep``, not U) plus one monotone expand
-    writing the shortened/resolved states back to the table (so chains
-    through listed bytes keep pointer-doubling).  The r2 version
-    re-compacted EVERY round — hoisting it saved ~40 ms/round at
-    N=462/U=64 KiB (measured r3).  Rows with more than ``keep`` tags
-    leave the overflow tagged for the caller's next tier / dense
-    mop-up level (correctness never depends on the iteration cap).
-    """
-    N = out.shape[0]
-    assert U <= (1 << 17)
-    tagged0 = (out & FAR_TAG) != 0
-    # 18-bit state (see _far_level_segmented): 3 gather planes, not 4
-    st = jnp.where(tagged0, (1 << 17) | (out & (FAR_TAG - 1)), out & 0x1FF)
-    jpos1 = jnp.broadcast_to(
-        jnp.arange(1, U + 1, dtype=jnp.int32)[None, :], (N, U))
-    (qp1, cur), valid = compact_monotone(
-        ~tagged0, (jpos1, st & 0x1FFFF), keep=keep)
-    cur = jnp.where(valid, (1 << 17) | cur, 0)
-    col = jnp.arange(keep, dtype=jnp.int32)[None, :]
-    shift = jnp.where(valid, qp1 - 1 - col, 0)
-
-    def cond(state):
-        st, cur, r = state
-        return jnp.any((cur >> 17) == 1) & (r < max_iters)
-
-    def round_(state):
-        st, cur, r = state
-        live = (cur >> 17) == 1
-        fetched = mxu_gather_rows(
-            st, jnp.where(live, cur & 0x1FFFF, 0), nbits=18)
-        cur = jnp.where(live, fetched, cur)
-        (vals,), placed = expand_monotone(~valid, (cur,), shift, U)
-        return jnp.where(placed, vals, st), cur, r + 1
-
-    st, _, _ = lax.while_loop(cond, round_, (st, cur, jnp.int32(0)))
-    live = (st >> 17) == 1
-    return jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
 
 
 def _far_level_segmented(out, U, S, cap=None):
