@@ -124,24 +124,24 @@ def main():
         return jnp.where(j < ol[:, None], out, 0)
 
     def timeit(name, fn, *args):
-        # in-jit chained reps: ONE dispatch runs `reps`真 executions
+        # in-jit chained reps: ONE dispatch runs `reps` true executions
         # (opaque runtime-zero salt defeats both loop hoisting and the
         # tunnel's identical-dispatch elision; per-dispatch tunnel
-        # overhead is 50-200 ms, far above most stages)
-        from jax import lax
-
+        # overhead is 50-200 ms, far above most stages).  Reps are
+        # PYTHON-UNROLLED: fori-wrapping compiles pathologically slowly
+        # through the remote AOT helper at batch widths.
         @jax.jit
         def run(zero, *a):
-            def body(i, s):
+            s = jnp.int32(0)
+            for _ in range(reps):
                 out = fn(*a, s)
                 # full reduce over EVERY leaf: a narrower dependency
                 # would let XLA dead-code-eliminate sibling outputs
                 acc = zero
                 for leaf in jax.tree_util.tree_leaves(out):
                     acc = acc + jnp.min(leaf).astype(jnp.int32)
-                return acc * zero
-
-            return lax.fori_loop(0, reps, body, jnp.int32(0))
+                s = acc * zero
+            return s
 
         z = jnp.int32(0)
         r = run(z, *args)

@@ -83,7 +83,7 @@ def _build_kernel(U, SS, R3, SL, KC):
     SL sublanes (SL*128 block-lanes per tile), KC kept records/chunk."""
 
     def kernel(meta_ref, lvl_ref, sym3_ref, body_ref, recp_ref, recv_ref,
-               fin_ref, st_ref, recm_ref, recl_ref):
+               fin_ref, st_ref, comb_ref, rem_ref):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -195,7 +195,7 @@ def _build_kernel(U, SS, R3, SL, KC):
                 m_val = short * ((((offv - 1) << 16) | p) + 1)
                 if j == 0:
                     m_val = m_val + m_slot0  # exclusive with do_off
-                recm_ref[k, j] = m_val
+                comb_ref[k * (2 * SS) + 2 * j] = m_val
                 p = _sel(short, jnp.minimum(p + mlen, U), p)
                 off_p = _sel(do_off, offv, off_p)
                 pend = _sel(short, jnp.int32(_P_NONE),
@@ -220,7 +220,8 @@ def _build_kernel(U, SS, R3, SL, KC):
                 bitbuf = _sel(do_sym, bitbuf << slen, bitbuf)
                 bitcount = bitcount - do_sym * slen
                 is_lit = do_sym * _mk(sym < 256)
-                recl_ref[k, j] = is_lit * (((sym << 16) | p) + 1)
+                comb_ref[k * (2 * SS) + 2 * j + 1] = (
+                    is_lit * (((sym << 16) | p) + 1))
                 p = p + is_lit
                 is_m = do_sym * _mk(sym >= 256)
                 msym = sym - 256
@@ -253,47 +254,65 @@ def _build_kernel(U, SS, R3, SL, KC):
         carry = lax.fori_loop(0, RCH, step, carry0)
 
         # ---- in-VMEM chunk compaction of the record slots ----
-        # The chunk's [RCH, SS] m/l slot pairs interleave chronologically
-        # (per substep: offset-completion precedes the fresh literal);
-        # left-compact the 2*SS*RCH stream per lane with monotone
-        # power-of-2 shift passes (collision-free: shifts non-decreasing)
-        # and keep the first KC — slots are ~90% empty, and KC is a sound
-        # per-chunk bound (see KEEP_CHUNK), so valid streams never
-        # overflow; overflow flags err instead of desyncing.
+        # The chunk's 2*SS*RCH slot stream (m/l pairs, chronological:
+        # per substep the offset-completion precedes the fresh literal)
+        # left-compacts per lane with monotone power-of-2 shift passes
+        # (collision-free: shifts non-decreasing); the first KC slots
+        # are kept — slots are ~90% empty and KC is a sound per-chunk
+        # bound (see KEEP_CHUNK), so valid streams never overflow;
+        # overflow flags err instead of desyncing.  Passes STAGE through
+        # the comb/rem scratch refs: a value-only form kept every
+        # unrolled pass's temporaries on the Mosaic stack and blew the
+        # 16 MB scoped-vmem limit.  Slot parity (m=even) rides rem's
+        # bit 30 through the shifts (move subtractions never borrow
+        # into it: move requires the subtracted bit set).
         W = RCH * SS * 2
-        m = recm_ref[...]  # [RCH, SS, SL, 128]
-        l = recl_ref[...]
-        comb = jnp.stack([m, l], axis=2).reshape(W, SL, 128)
-        par = lax.broadcasted_iota(jnp.int32, (W, SL, 128), 0) & 1
-        empty = comb == 0
-        raw = comb - 1
-        pos = raw & 0xFFFF
-        payload = lax.shift_right_logical(raw, 16)
-        # 17-bit combined value: match = (1<<16)|(off-1), literal = sym
-        val = jnp.where(par == 0, (1 << 16) + payload, payload)
-        e = empty.astype(jnp.int32)
-        rem = jnp.where(empty, -1, jnp.cumsum(e, axis=0))
 
         def shl(x, sh, fill):
             return jnp.concatenate(
                 [x[sh:], jnp.full((sh, SL, 128), fill, jnp.int32)], axis=0)
 
+        comb = comb_ref[...]
+        e = (comb == 0).astype(jnp.int32)
+        # inclusive log-shift prefix sum (jnp.cumsum has no Mosaic
+        # lowering); non-empty entries contribute 0, so inclusive ==
+        # "#empties strictly before" for them
+        rem_ref[...] = e
+        sh = 1
+        while sh < W:
+            cum = rem_ref[...]
+            rem_ref[...] = cum + jnp.concatenate(
+                [jnp.zeros((sh, SL, 128), jnp.int32), cum[: W - sh]],
+                axis=0)
+            sh *= 2
+        par = lax.broadcasted_iota(jnp.int32, (W, SL, 128), 0) & 1
+        rem_ref[...] = jnp.where(
+            comb == 0, -1, rem_ref[...] | (par << 30))
+
         nb = max(1, (W - 1).bit_length())
         for b in range(nb):
             sh = 1 << b
+            rem = rem_ref[...]
+            comb = comb_ref[...]
             rem_s = shl(rem, sh, -1)
             move_in = (rem_s >= 0) & ((rem_s & sh) != 0)
             stay = (rem >= 0) & ((rem & sh) == 0)
-            pos = jnp.where(move_in, shl(pos, sh, 0),
-                            jnp.where(stay, pos, 0))
-            val = jnp.where(move_in, shl(val, sh, 0),
-                            jnp.where(stay, val, 0))
-            rem = jnp.where(move_in, rem_s - sh, jnp.where(stay, rem, -1))
+            comb_ref[...] = jnp.where(
+                move_in, shl(comb, sh, 0), jnp.where(stay, comb, 0))
+            rem_ref[...] = jnp.where(
+                move_in, rem_s - sh, jnp.where(stay, rem, -1))
+        rem = rem_ref[:KC]
+        comb = comb_ref[:KC]
         valid = rem >= 0
-        ovf = jnp.any(valid[KC:], axis=0).astype(jnp.int32)  # [SL, 128]
+        raw = comb - 1
+        pos = raw & 0xFFFF
+        payload = lax.shift_right_logical(raw, 16)
+        # 17-bit combined value: match = (1<<16)|(off-1), literal = sym
+        val = jnp.where(((rem >> 30) & 1) == 0, (1 << 16) + payload, payload)
+        ovf = jnp.any(rem_ref[KC:] >= 0, axis=0).astype(jnp.int32)
         err_out = carry[_S_ERR] | ovf
-        recp_ref[...] = jnp.where(valid[:KC], pos[:KC], SENT)
-        recv_ref[...] = jnp.where(valid[:KC], val[:KC], 0)
+        recp_ref[...] = jnp.where(valid, pos, SENT)
+        recv_ref[...] = jnp.where(valid, val, 0)
 
         for v in range(_NSTATE):
             st_ref[v] = carry[v] if v != _S_ERR else err_out
@@ -342,8 +361,8 @@ def _parse_call(U, SS, R3, SL, T, S4, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((_NSTATE, SL, 128), jnp.int32),
-            pltpu.VMEM((RCH, SS, SL, 128), jnp.int32),
-            pltpu.VMEM((RCH, SS, SL, 128), jnp.int32),
+            pltpu.VMEM((RCH * SS * 2, SL, 128), jnp.int32),
+            pltpu.VMEM((RCH * SS * 2, SL, 128), jnp.int32),
         ],
         interpret=bool(interpret),
     )
@@ -367,9 +386,10 @@ def parse_records(body, blen, out_len, fc, br, lim, sym_by_rank, U,
     N, Pb = body.shape
     SS = substeps
     R3 = -(-rank_cap // 3)
-    # SL=8 -> full-(8,128)-tile table rows: the rank->symbol scan is
-    # VMEM-load bound, so half tiles (SL=4) waste half the load width
-    SL = min(8, -(-N // 128))
+    # SL capped at 4: the chunk-compaction scratch/stack at SL=8 blows
+    # the 16 MB scoped-vmem limit (parse cost is per-step, ~flat in SL
+    # at measured batch sizes — r3 profile ran SL=4)
+    SL = min(4, -(-N // 128))
     T = -(-N // (SL * 128))
     NL = T * SL
     S4 = -(-Pb // RCH) * (RCH // 4)
