@@ -62,12 +62,12 @@ BASELINE_GBPS = 1.0
 # first, the fragile TPU XH encode last.
 STAGES = [
     ("lznt1", 600),
-    ("xh_decode", 480),
-    ("xpress", 420),
+    ("xh_decode", 700),
+    ("xpress", 480),
     ("xh_encode", 600),
     ("ratio_vs_ref", 300),
 ]
-DEFAULT_BUDGET_S = 2400.0
+DEFAULT_BUDGET_S = 2700.0
 
 
 # --------------------------------------------------------------------------
@@ -98,19 +98,33 @@ def save_state(st):
     os.replace(tmp, STATE_PATH)
 
 
+def _ladder_strike(ent, w):
+    """Two-strike failure attribution (VERDICT r3 weak #4: a single
+    TRANSIENT device abort permanently narrowed the bench — commit
+    d3cfcb7 had to hand-restore a good width).  First failure marks the
+    width SUSPECT (retried next run); only a second failure makes it
+    bad."""
+    k = str(w)
+    sus = ent.setdefault("suspect", {})
+    sus[k] = sus.get(k, 0) + 1
+    if sus[k] >= 2 and w not in ent["bad"]:
+        ent["bad"].append(w)
+
+
 def ladder(key, cands, attempt_fn, log=None):
     """Try candidate widths (descending) until one compiles+runs.
 
     Crash attribution: ``trying`` is persisted before each attempt, so a
-    width whose compile SIGKILLs/hangs the whole process is marked bad
-    by the NEXT run.  Known-good is retried first (persistent-cache hit);
-    if even it fails, the ladder continues below it.
+    width whose compile SIGKILLs/hangs the whole process is struck by
+    the NEXT run (two strikes = bad; one strike = retried, so transient
+    device aborts don't permanently narrow the bench).  Known-good is
+    retried first (persistent-cache hit); if even it fails, the ladder
+    continues below it.
     """
     st = load_state()
     ent = st.setdefault(key, {"good": None, "bad": [], "trying": None})
     if ent.get("trying") is not None:  # previous run died mid-attempt
-        if ent["trying"] not in ent["bad"]:
-            ent["bad"].append(ent["trying"])
+        _ladder_strike(ent, ent["trying"])
         ent["trying"] = None
         save_state(st)
     good, bad = ent.get("good"), set(ent["bad"])
@@ -131,14 +145,14 @@ def ladder(key, cands, attempt_fn, log=None):
             raise
         except Exception as e:  # compile-helper OOM/500: try narrower
             ent["trying"] = None
-            if w not in ent["bad"]:
-                ent["bad"].append(w)
+            _ladder_strike(ent, w)
             save_state(st)
             if log:
                 log(f"{key}={w} failed: {e}"[:300])
             continue
         ent["trying"] = None
         ent["good"] = w
+        ent.setdefault("suspect", {}).pop(str(w), None)  # clean slate
         save_state(st)
         return w
     return None
@@ -407,9 +421,17 @@ def stage_xh_decode(out: StageOut):
     # spawn (not fork): the parent holds a live TPU client at this point
     with mp.get_context("spawn").Pool(min(12, os.cpu_count() or 4)) as pool:
         streams = pool.map(_native.xh_compress, units, chunksize=8)
-    out["xh_native_encode_GBps"] = round(
-        xh_nbytes / (time.perf_counter() - t0) / 1e9, 4)
-    out["xh_ratio_native"] = round(sum(len(s) for s in streams) / xh_nbytes, 4)
+        out["xh_native_encode_GBps"] = round(
+            xh_nbytes / (time.perf_counter() - t0) / 1e9, 4)
+        out["xh_ratio_native"] = round(
+            sum(len(s) for s in streams) / xh_nbytes, 4)
+        # archive-profile streams (offset-resolved, depth-bounded):
+        # same corpus re-encoded for the value-chase fast resolve;
+        # the size penalty is reported as xh_ratio_resolved
+        streams_rw = pool.map(
+            _native.xh_compress_resolved, units, chunksize=8)
+    out["xh_ratio_resolved"] = round(
+        sum(len(s) for s in streams_rw) / xh_nbytes, 4)
 
     mode = pallas_mode("TPUCOMP_XH_PALLAS")
     out["xh_backend"] = mode or "xla"
@@ -423,30 +445,29 @@ def stage_xh_decode(out: StageOut):
 
     from collections import Counter
 
-    per_b = [bucket_of(s) for s in streams]
-    b_major = Counter(per_b).most_common(1)[0][0]
-    ss_major, _, rc_major = b_major
-    sel = [i for i, b in enumerate(per_b) if b == b_major]
-    out["xh_substeps"] = ss_major
-    out["xh_major_units"] = len(sel)
+    def major_sel(strms):
+        per_b = [bucket_of(s) for s in strms]
+        b_major = Counter(per_b).most_common(1)[0][0]
+        return b_major, [i for i, b in enumerate(per_b) if b == b_major]
 
-    def run_width(NBD):
+    def run_width(strms, sel, bucket, NBD, fast, raw_key):
+        ss_b, _, rc_b = bucket
         rows = sel[:NBD]
-        max_body = max(len(streams[i]) for i in rows) - 256
+        max_body = max(len(strms[i]) for i in rows) - 256
         bb = max(1024, -(-max_body // 8192) * 8192)
         P = min(xh.max_payload(U), 256 + bb + 16)
         xp = np.zeros((NBD, P), np.int32)
         xl = np.zeros(NBD, np.int32)
         xo = np.zeros(NBD, np.int32)
         for k, i in enumerate(rows):
-            a = np.frombuffer(streams[i], np.uint8)
+            a = np.frombuffer(strms[i], np.uint8)
             xp[k, : len(a)] = a
             xl[k] = len(a)
             xo[k] = len(units[i])
         d = (jnp.asarray(xp), jnp.asarray(xl), jnp.asarray(xo))
         f = jax.jit(
             lambda p, l, o, s: xh._decode_impl(
-                p, l, o + s, U, ss_major, mode, rc_major))
+                p, l, o + s, U, ss_b, mode, rc_b, fast_resolve=fast))
         o_dev, err = f(*d, jnp.int32(0))
         jax.block_until_ready(o_dev)
         assert not np.asarray(err)[: len(rows)].any(), "xh decode error flag"
@@ -457,20 +478,37 @@ def stage_xh_decode(out: StageOut):
         sel_bytes = sum(len(units[i]) for i in rows)
         t, raw = chained_slope(
             lambda p, l, o, s: xh._decode_impl(
-                p + s, l, o, U, ss_major, mode, rc_major)[0], d, reps_lo=2)
-        out["xh_decode_raw_GBps"] = round(sel_bytes / raw / 1e9, 4)
+                p + s, l, o, U, ss_b, mode, rc_b,
+                fast_resolve=fast)[0], d, reps_lo=2)
+        out[raw_key] = round(sel_bytes / raw / 1e9, 4)
         return sel_bytes / t
 
+    # headline: archive fast path on offset-resolved streams
+    b_rw, sel_rw = major_sel(streams_rw)
+    out["xh_substeps"] = b_rw[0]
+    out["xh_major_units"] = len(sel_rw)
     res = {}
 
     def attempt(w):
-        res["gbps"] = run_width(min(w, len(sel)))
+        res["gbps"] = run_width(streams_rw, sel_rw, b_rw, min(w, len(sel_rw)),
+                                True, "xh_decode_raw_GBps")
 
-    NBD = ladder("xh_NBD", _clamp_cands([512, 256, 128], len(sel)), attempt, _log)
+    NBD = ladder("xh_NBD", _clamp_cands([512, 256, 128], len(sel_rw)),
+                 attempt, _log)
     if NBD is None:
         raise RuntimeError("no XH decode batch width compiles")
-    out["xh_dec_batch"] = min(NBD, len(sel))
+    out["xh_dec_batch"] = min(NBD, len(sel_rw))
     out["xh_decode_GBps"] = round(res["gbps"] / 1e9, 4)
+
+    # foreign streams (plain native encoder, general resolve) at the
+    # laddered width — the non-archive number, kept on the record
+    try:
+        b_f, sel_f = major_sel(streams)
+        g = run_width(streams, sel_f, b_f, min(NBD, len(sel_f)), False,
+                      "xh_decode_foreign_raw_GBps")
+        out["xh_decode_foreign_GBps"] = round(g / 1e9, 4)
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["xh_decode_foreign_err"] = str(e)[:120]
 
 
 def stage_xpress(out: StageOut):

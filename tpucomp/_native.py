@@ -51,6 +51,16 @@ def _load():
             ctypes.c_char_p,
             ctypes.c_int,
         ]
+    for name in ("xpress_compress_opt", "xh_compress_opt"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
     for name in ("xpress_decompress", "xh_decompress"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
@@ -133,6 +143,47 @@ def xh_compress(data: bytes) -> bytes:
     return _call(_load().xh_compress, bytes(data), nb * 264 + 2 * n + 16)
 
 
+# Encoder option flags (mirror tpucomp_native.c OPT_*)
+OPT_RESOLVE_OFFSETS = 1
+
+
+def _depth_flags(max_depth: int) -> int:
+    if not 0 <= max_depth <= 15:
+        raise ArgError("max_depth must be in [0, 15]")
+    return (max_depth & 0xF) << 8
+
+
+def _call_opt(fn, data: bytes, out_cap: int, flags: int) -> bytes:
+    out = ctypes.create_string_buffer(out_cap)
+    rc = _check(fn(data, len(data), out, out_cap, flags))
+    return out.raw[:rc]
+
+
+def xh_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
+    """xh_compress with the archive-decode profile: encode-time
+    origin-ascent offset rewrite plus a HARD bound on the data-parallel
+    decoder's copy-resolution depth (``max_depth`` gather rounds after
+    the in-scan near window; matches that would exceed it are shortened
+    or dropped).  Output is standard [MS-XCA] §2.1/2.2 — any decoder
+    accepts it; the TPU decoder's far while_loops converge in
+    ``max_depth`` rounds.  ``max_depth=0`` disables the bound (ascent
+    only)."""
+    n = len(data)
+    nb = max(1, (n + 65535) // 65536)
+    return _call_opt(_load().xh_compress_opt, bytes(data),
+                     nb * 264 + 2 * n + 16,
+                     OPT_RESOLVE_OFFSETS | _depth_flags(max_depth))
+
+
+def xpress_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
+    """xpress_compress with the archive-decode profile (ascent capped
+    by the format's 8192-byte window).  See xh_compress_resolved."""
+    n = len(data)
+    return _call_opt(_load().xpress_compress_opt, bytes(data),
+                     n + 4 * (n // 32 + 2) + 16,
+                     OPT_RESOLVE_OFFSETS | _depth_flags(max_depth))
+
+
 def xh_decompress(data: bytes, out_len: int) -> bytes:
     if out_len is None:
         raise ArgError("XpressHuff: out_len is required")
@@ -156,12 +207,20 @@ class _NativeStream:
             raise ArgError("native stream: allocation failed")
 
     def _drain(self) -> bytes:
-        n = _check(self._avail(self._h))
-        if not n:
-            return b""
-        buf = ctypes.create_string_buffer(n)
-        got = _check(self._read(self._h, buf, n))
-        return buf.raw[:got]
+        # loop: the C *_avail returns int, so a single pass would cap a
+        # >INT_MAX pending backlog (huge out_len feeds) at one truncated
+        # read; keep reading until the engine reports empty
+        parts = []
+        while True:
+            n = _check(self._avail(self._h))
+            if not n:
+                break
+            buf = ctypes.create_string_buffer(n)
+            got = _check(self._read(self._h, buf, n))
+            if not got:
+                break
+            parts.append(buf.raw[:got])
+        return b"".join(parts)
 
     def feed(self, data: bytes) -> bytes:
         data = bytes(data)

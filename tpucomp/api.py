@@ -123,14 +123,15 @@ class Compressor:
     (reference ``ms_deflate`` semantics, SURVEY.md §3.5): matches cross
     feed boundaries, and the concatenated output is ONE standard stream
     of the format — decode it one-shot or with :class:`Decompressor`
-    given the total uncompressed size.  For XPRESS_HUFF the streamed
-    bytes are bit-identical to one-shot ``oracle.compress(data,
-    cross_block=True)`` regardless of feed slicing (64 KiB block
-    granularity); for XPRESS they match one-shot ``compress`` except
-    across pathological multi-megabyte matches (see
-    ``oracle.xpress.StreamCompressor``).  LZNT1 is chunk-local by
-    format design: units are compressed as they fill, and 4096-multiple
-    feeds give bytes identical to one-shot.
+    given the total uncompressed size.  Streamed bytes equal the SAME
+    backend's one-shot output regardless of feed slicing: with
+    ``backend="oracle"`` XPRESS_HUFF matches ``oracle.compress(data,
+    cross_block=True)``; with the default ``backend="cpu"`` it matches
+    native one-shot ``xh_compress(concat)`` (block-local windows); for
+    XPRESS both backends match their one-shot except across pathological
+    multi-megabyte matches (see ``oracle.xpress.StreamCompressor``).
+    LZNT1 is chunk-local by format design: units are compressed as they
+    fill, and 4096-multiple feeds give bytes identical to one-shot.
 
     The window-carry engine runs on the resolved backend: ``"cpu"``
     (native C state machines, the fast path — XPRESS_HUFF streamed bytes
@@ -317,7 +318,9 @@ class Decompressor:
 
     def flush(self) -> bytes:
         if self._engine is not None:
-            return self._engine.flush()
+            out = self._engine.flush()
+            self.total_out += len(out)
+            return out
         if self.fmt == Format.LZNT1 and self._buf:
             out = self._decompress(bytes(self._buf), None)
             self._buf.clear()

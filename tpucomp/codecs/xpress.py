@@ -79,7 +79,7 @@ _M_U32_0, _M_U32_1, _M_U32_2, _M_U32_3 = 10, 11, 12, 13
 _COPY_BIT = 1 << 20
 
 
-def make_decoder(u: int, mode=None, jitter=None):
+def make_decoder(u: int, mode=None, jitter=None, fast_resolve=False):
     """Build a jitted decoder for unit capacity ``u``.
 
     Args (of the returned function):
@@ -101,12 +101,13 @@ def make_decoder(u: int, mode=None, jitter=None):
         raise ArgError("xpress unit_size must be <= 65536")
 
     def dec(payload, plen, out_len):
-        return _decode_impl(payload, plen, out_len, u, mode)
+        return _decode_impl(payload, plen, out_len, u, mode,
+                            fast_resolve=fast_resolve)
 
     return (jitter or jax.jit)(dec)
 
 
-def _decode_impl(payload, plen, out_len, U, mode=None):
+def _decode_impl(payload, plen, out_len, U, mode=None, fast_resolve=False):
     N, P = payload.shape
     if mode is not None:
         from ..kernels import xp_pallas
@@ -114,7 +115,8 @@ def _decode_impl(payload, plen, out_len, U, mode=None):
         rec_pos, rec_val, p_final, errk = xp_pallas.parse_records(
             payload, plen, out_len, U, interpret=(mode == "interpret"))
         return _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U, mode)
+                                  out_len, N, U, mode,
+                                  fast_resolve=fast_resolve)
     bytes_T = payload.T
     steps = jnp.arange(P, dtype=jnp.int32)
 
@@ -259,11 +261,12 @@ def _decode_impl(payload, plen, out_len, U, mode=None):
     )
     carry, (rec_pos_T, rec_val_T) = lax.scan(step, init, (bytes_T, steps))
     return _records_to_output(rec_pos_T.T, rec_val_T.T, carry[0],
-                              carry[-1], out_len, N, U)
+                              carry[-1], out_len, N, U,
+                              fast_resolve=fast_resolve)
 
 
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
-                       mode=None):
+                       mode=None, fast_resolve=False):
     """Shared decode tail: monotone token records -> output bytes."""
     j = jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[None, :], (N, U))
     vpack, tokpos, _ = fill_records_delta2(rec_pos, rec_val, U)
@@ -281,9 +284,11 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
         from ..kernels import resolve_pallas
 
         out = resolve_pallas.resolve_copies(
-            is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+            is_copy_j, disp_j, litv, interpret=(mode == "interpret"),
+            fast=fast_resolve)
     elif U >= 8192 and U % 16 == 0:
-        out = resolve_copies_wide(is_copy_j, disp_j, litv)
+        out = resolve_copies_wide(is_copy_j, disp_j, litv,
+                                  fast=fast_resolve)
     else:
         out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)
@@ -548,7 +553,7 @@ def compress_units(units_data, unit_size=UNIT, jitter=None, pad_to=None,
 
 
 def _decode_bucket(streams, out_lens, unit_size, mode, jitter=None,
-                   pad_to=None, gather=np.asarray):
+                   pad_to=None, gather=np.asarray, fast_resolve=False):
     if any(o > unit_size for o in out_lens):
         raise ArgError("out_len larger than unit_size")
     N = pad_batch(len(streams), pad_to)
@@ -564,7 +569,8 @@ def _decode_bucket(streams, out_lens, unit_size, mode, jitter=None,
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size, mode, jitter)(
+    out, err = _dec_for(unit_size, mode, jitter,
+                        fast_resolve=fast_resolve)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
     out = gather(out)
@@ -622,7 +628,7 @@ def decompress(data: bytes, out_len=None) -> bytes:
 
 
 def decompress_units(streams, out_lens, unit_size=UNIT, jitter=None,
-                     pad_to=None, gather=np.asarray):
+                     pad_to=None, gather=np.asarray, fast_resolve=False):
     """Decompress a batch of independent Xpress unit streams (bucketed
     by stream size so one incompressible unit doesn't stretch every
     unit's scan)."""
@@ -643,6 +649,7 @@ def decompress_units(streams, out_lens, unit_size=UNIT, jitter=None,
             jitter,
             pad_to,
             gather,
+            fast_resolve,
         )
         for i, o in zip(idxs, outs):
             results[i] = o

@@ -103,7 +103,13 @@ _P_ESC = 2  # need length-escape bytes (offset already read)
 
 
 def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
-                 jitter=None, want_span=False, with_history=False):
+                 jitter=None, want_span=False, with_history=False,
+                 fast_resolve=False):
+    """``fast_resolve``: archive fast path — insert cheap value-chase
+    probe rounds in the far resolve (kernels/common._far_probe_round).
+    Built for streams from the offset-resolved encoder profile
+    (_native.xh_compress_resolved); bit-correct for ANY stream (the
+    general doubling rounds still follow and no-op when cleared)."""
     if u > BLOCK:
         raise ArgError("XPRESS_HUFF units are single <= 64 KiB blocks")
 
@@ -122,14 +128,14 @@ def make_decoder(u: int, substeps: int = 5, mode=None, rank_cap=NUM_SYMBOLS,
 
     def dec(payload, plen, out_len):
         return _decode_impl(payload, plen, out_len, u, substeps, mode,
-                            rank_cap, want_span)
+                            rank_cap, want_span, fast_resolve=fast_resolve)
 
     return (jitter or jax.jit)(dec)
 
 
 def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
                  rank_cap=NUM_SYMBOLS, want_span=False,
-                 hist=None, hist_len=None):
+                 hist=None, hist_len=None, fast_resolve=False):
     """mode selects the parse-scan backend: None = XLA lax.scan;
     "tpu" = Pallas kernel (kernels.xh_pallas); "interpret" = the same
     kernel in interpreter mode (CPU tests).  The record stream and the
@@ -157,7 +163,8 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
         keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
         keep = -(-keep // 128) * 128
         return _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U, mode, keep=keep)
+                                  out_len, N, U, mode, keep=keep,
+                                  fast_resolve=fast_resolve)
 
     iota512 = jnp.arange(NUM_SYMBOLS, dtype=jnp.int32)[None, :]
     iota16 = jnp.arange(MAX_CODE_LEN + 1, dtype=jnp.int32)[None, :]
@@ -372,7 +379,8 @@ def _decode_impl(payload, plen, out_len, U, SUBSTEPS, mode=None,
     keep = min(U, (8 * (P - 256)) // _BUCKET_MCL.get(SUBSTEPS, 1) + 8)
     keep = -(-keep // 128) * 128
     out, err = _records_to_output(rec_pos, rec_val, p_final, errk,
-                                  out_len, N, U, keep=keep, hist=hist)
+                                  out_len, N, U, keep=keep, hist=hist,
+                                  fast_resolve=fast_resolve)
     if not want_span:
         return out, err
     # oracle _block_byte_span: 2 priming words + lazy flushes + raws
@@ -388,7 +396,7 @@ _BUCKET_MCL = {3: 8, 5: 4, 9: 2, 17: 1}
 
 
 def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
-                       mode=None, keep=None, hist=None):
+                       mode=None, keep=None, hist=None, fast_resolve=False):
     """Shared decode tail: monotone token records -> output bytes.
     Records with key >= queries' range (sentinels) never bind.
     ``keep``: sound bound on real records per row — the fill dedupes and
@@ -427,11 +435,13 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
         from ..kernels import resolve_pallas
 
         out = resolve_pallas.resolve_copies(
-            is_copy_j, disp_j, litv, interpret=(mode == "interpret"))
+            is_copy_j, disp_j, litv, interpret=(mode == "interpret"),
+            fast=fast_resolve)
     elif U >= 8192 and U % 16 == 0:
         # K-unrolled window scan: U/16 steps with one batched one-hot
         # each, instead of U per-position steps (64 KiB blocks)
-        out = resolve_copies_wide(is_copy_j, disp_j, litv)
+        out = resolve_copies_wide(is_copy_j, disp_j, litv,
+                                  fast=fast_resolve)
     else:
         out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)
@@ -712,12 +722,14 @@ def _xh_mode():
     return pallas_mode("TPUCOMP_XH_PALLAS")
 
 
-def _dec_for(u, substeps, mode=None, rank_cap=NUM_SYMBOLS, jitter=None):
+def _dec_for(u, substeps, mode=None, rank_cap=NUM_SYMBOLS, jitter=None,
+             fast_resolve=False):
     if mode is None:
         rank_cap = NUM_SYMBOLS  # unused by the XLA scan: one compile
-    key = (u, substeps, mode, rank_cap, _jit_key(jitter))
+    key = (u, substeps, mode, rank_cap, _jit_key(jitter), fast_resolve)
     if key not in _DECODERS:
-        _DECODERS[key] = make_decoder(u, substeps, mode, rank_cap, jitter)
+        _DECODERS[key] = make_decoder(u, substeps, mode, rank_cap, jitter,
+                                      fast_resolve=fast_resolve)
     return _DECODERS[key]
 
 
@@ -762,7 +774,7 @@ def _rank_cap(stream) -> int:
 
 def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
                    rank_cap=NUM_SYMBOLS, jitter=None, pad_to=None,
-                   gather=np.asarray):
+                   gather=np.asarray, fast_resolve=False):
     if any(o > unit_size for o in out_lens):
         raise ArgError("out_len larger than unit_size")
     N = pad_batch(len(streams), pad_to)
@@ -780,7 +792,8 @@ def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
         a = np.frombuffer(s, np.uint8)
         payload[i, : len(a)] = a
         plen[i] = len(a)
-    out, err = _dec_for(unit_size, substeps, mode, rank_cap, jitter)(
+    out, err = _dec_for(unit_size, substeps, mode, rank_cap, jitter,
+                        fast_resolve=fast_resolve)(
         jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen)
     )
     out = gather(out)
@@ -793,7 +806,7 @@ def _decode_bucket(streams, out_lens, unit_size, substeps, mode=None,
 
 
 def decompress_units(streams, out_lens, unit_size=BLOCK, jitter=None,
-                     pad_to=None, gather=np.asarray):
+                     pad_to=None, gather=np.asarray, fast_resolve=False):
     """Decompress a batch of independent single-block XH streams.
 
     Blocks are BUCKETED by their table's min code length: a single
@@ -827,6 +840,7 @@ def decompress_units(streams, out_lens, unit_size=BLOCK, jitter=None,
             jitter,
             pad_to,
             gather,
+            fast_resolve,
         )
         for i, o in zip(idxs, outs):
             results[i] = o

@@ -37,6 +37,11 @@ class Manifest:
     unit_out_lens: List[int] = field(default_factory=list)
     unit_comp_lens: List[int] = field(default_factory=list)
     done_units: int = 0  # checkpoint: units already compressed/stitched
+    # encoder profile: True = unit streams were written with the
+    # offset-resolved, depth-bounded profile (_native.*_compress_resolved)
+    # so decompress may take the value-chase fast resolve (the decoder
+    # stays bit-correct either way; this only picks the cheap schedule)
+    resolved: bool = False
 
     def to_json(self) -> bytes:
         return json.dumps(
@@ -46,6 +51,7 @@ class Manifest:
                 "unit_out_lens": self.unit_out_lens,
                 "unit_comp_lens": self.unit_comp_lens,
                 "done_units": self.done_units,
+                "resolved": self.resolved,
             }
         ).encode()
 
@@ -58,6 +64,7 @@ class Manifest:
             unit_out_lens=list(d["unit_out_lens"]),
             unit_comp_lens=list(d["unit_comp_lens"]),
             done_units=d.get("done_units", 0),
+            resolved=d.get("resolved", False),
         )
 
 

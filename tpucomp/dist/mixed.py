@@ -42,6 +42,8 @@ class MixedBatch:
         """
         from .archive import Manifest
 
+        from ..stats import RunStats, device_trace, timed
+
         by_fmt = {}
         for i, (fmt, data) in enumerate(jobs):
             by_fmt.setdefault(canonical(fmt), []).append((i, bytes(data)))
@@ -55,7 +57,14 @@ class MixedBatch:
                 units = [data[k : k + u] for k in range(0, len(data), u)] or [b""]
                 spans.append((i, len(all_units), len(units)))
                 all_units += units
-            streams = codec._compress_units(all_units)
+            # per-format stats/trace, mirroring ShardedCodec.compress
+            # (the batched path bypasses it by calling _compress_units)
+            stats = RunStats(fmt=canonical(fmt).name, units=len(all_units))
+            with timed(stats), device_trace(codec.trace_dir):
+                streams = codec._compress_units(all_units)
+            stats.in_bytes = sum(len(t) for t in all_units)
+            stats.out_bytes = sum(len(s) for s in streams)
+            codec.last_stats = stats
             for i, first, nu in spans:
                 manifest = Manifest(fmt=int(fmt), unit_size=u)
                 payload = bytearray()
@@ -71,6 +80,7 @@ class MixedBatch:
         """Batched mirror of :meth:`compress`: all same-format archives'
         unit streams decode in one call per format."""
         from ..errors import ArgError
+        from ..stats import RunStats, device_trace, timed
 
         by_fmt = {}
         for i, arch in enumerate(archives):
@@ -89,13 +99,18 @@ class MixedBatch:
                 spans.append((i, len(all_streams), len(streams)))
                 all_streams += streams
                 all_olens += arch.manifest.unit_out_lens
-            if fmt == Format.LZNT1:
-                parts = codec._lznt1_units(all_streams, encode=False)
-            else:
-                parts = codec._mod.decompress_units(
-                    all_streams, all_olens, unit_size=codec.unit_size,
-                    jitter=codec.jitter, pad_to=max(codec.ndev, 8),
-                    gather=_host_gather)
+            stats = RunStats(fmt=canonical(fmt).name, units=len(all_streams),
+                             out_bytes=sum(len(s) for s in all_streams))
+            with timed(stats), device_trace(codec.trace_dir):
+                if fmt == Format.LZNT1:
+                    parts = codec._lznt1_units(all_streams, encode=False)
+                else:
+                    parts = codec._mod.decompress_units(
+                        all_streams, all_olens, unit_size=codec.unit_size,
+                        jitter=codec.jitter, pad_to=max(codec.ndev, 8),
+                        gather=_host_gather)
+            stats.in_bytes = sum(len(p) for p in parts)
+            codec.last_stats = stats
             for i, first, nu in spans:
                 out[i] = b"".join(parts[first : first + nu])
         return out

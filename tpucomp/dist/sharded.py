@@ -85,7 +85,8 @@ class MeshJit:
 class ShardedCodec:
     """Data-parallel unit codec over a device mesh (any format)."""
 
-    def __init__(self, fmt, mesh=None, unit_size=None, trace_dir=None):
+    def __init__(self, fmt, mesh=None, unit_size=None, trace_dir=None,
+                 resolve_offsets=False):
         self.fmt = canonical(fmt)
         self.mesh = mesh if mesh is not None else data_mesh()
         self.ndev = self.mesh.devices.size
@@ -95,6 +96,17 @@ class ShardedCodec:
         # jax.profiler trace scope around every device dispatch
         # (SURVEY.md §5 tracing row); None disables
         self.trace_dir = trace_dir
+        # archive profile: encode XPRESS/XPRESS_HUFF units with the
+        # native offset-resolved, depth-bounded encoder
+        # (_native.*_compress_resolved) and mark the manifest so
+        # decompress takes the value-chase fast resolve.  The streams
+        # stay standard [MS-XCA]; decode of either profile is
+        # bit-correct on every backend.
+        self.resolve_offsets = bool(resolve_offsets)
+        if self.resolve_offsets and canonical(fmt) == Format.LZNT1:
+            raise ArgError(
+                "resolve_offsets applies to XPRESS/XPRESS_HUFF (LZNT1 "
+                "chunks resolve in-segment already)")
 
         if self.fmt == Format.LZNT1:
             from ..codecs import lznt1 as m
@@ -150,6 +162,7 @@ class ShardedCodec:
                 manifest.unit_comp_lens.append(len(s))
                 payload += s
             manifest.done_units = len(units)
+            manifest.resolved = self.resolve_offsets
             stats.in_bytes = sum(len(t) for t in todo)
             stats.out_bytes = sum(len(s) for s in streams)
         self.last_stats = stats
@@ -158,6 +171,13 @@ class ShardedCodec:
     def _compress_units(self, units):
         if self.fmt == Format.LZNT1:
             return self._lznt1_units(units, encode=True)
+        if self.resolve_offsets:
+            from .. import _native
+
+            enc = (_native.xh_compress_resolved
+                   if self.fmt == Format.XPRESS_HUFF
+                   else _native.xpress_compress_resolved)
+            return [enc(u) for u in units]
         return self._mod.compress_units(
             units, unit_size=self.unit_size, jitter=self.jitter,
             pad_to=max(self.ndev, 8), gather=_host_gather)
@@ -179,10 +199,13 @@ class ShardedCodec:
             if self.fmt == Format.LZNT1:
                 parts = self._lznt1_units(streams, encode=False)
             else:
+                kw = {}
+                if getattr(archive.manifest, "resolved", False):
+                    kw["fast_resolve"] = True
                 parts = self._mod.decompress_units(
                     streams, out_lens, unit_size=self.unit_size,
                     jitter=self.jitter, pad_to=max(self.ndev, 8),
-                    gather=_host_gather)
+                    gather=_host_gather, **kw)
         out = b"".join(parts)
         stats.in_bytes = len(out)
         self.last_stats = stats

@@ -1203,7 +1203,8 @@ def _resolve_window(window):
     return DEFAULT.resolve.window
 
 
-def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16):
+def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16,
+                        fast=False):
     """resolve_copies for LONG rows (e.g. 64 KiB blocks): processes
     ``unroll`` output positions per scan step so the program has U/K steps
     and the window read is ONE batched [N, K, W] one-hot per step instead
@@ -1262,10 +1263,45 @@ def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16):
         ),
     )
     out = out_T.transpose(1, 0, 2).reshape(N, U)
-    return _far_rounds(out, U, W - K)
+    return _far_rounds(out, U, W - K, fast=fast)
 
 
-def _far_rounds(out, U, min_hop):
+def _far_probe_round(out, U, interpret=False):
+    """One VALUE-CHASE round at ~1/6 the MACs of a doubling round: fetch
+    ``probe[src]`` where probe = 256 for still-tagged entries, else the
+    final byte — a SINGLE bf16-exact plane (entries <= 256), two queries
+    pair-packed per one-hot column (kernels/gather_pallas
+    probe_gather_pairs).  Tags whose target is already final resolve;
+    live targets leave the tag untouched (no pointer doubling).
+
+    This is the archive fast path: streams from the native encoder's
+    OPT_RESOLVE_OFFSETS + depth-bound profile guarantee every surviving
+    tag's target is final after the segment level, so ONE probe replaces
+    the 3-plane full-row doubling rounds.  Correct for ANY stream — the
+    general rounds still run after (and no-op when the probe cleared
+    everything)."""
+    from ..util import pallas_mode
+
+    N = out.shape[0]
+    tagged = (out & FAR_TAG) != 0
+    probe = jnp.where(tagged, 256, out & 0xFF)
+    gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
+    if gmode is not None and U % 2 == 0:
+        from .gather_pallas import probe_gather_pairs
+
+        src = jnp.where(tagged, out & (FAR_TAG - 1), 0).reshape(
+            N, U // 2, 2)
+        f1, f2 = probe_gather_pairs(
+            probe, src[:, :, 0], src[:, :, 1],
+            interpret=(gmode == "interpret" or interpret))
+        fetched = jnp.stack([f1, f2], axis=2).reshape(N, U)
+    else:
+        src = jnp.where(tagged, out & (FAR_TAG - 1), 0)
+        fetched = mxu_gather_rows(probe, src, nbits=9)
+    return jnp.where(tagged & (fetched < 256), fetched, out)
+
+
+def _far_rounds(out, U, min_hop, fast=False, interpret=False):
     """Resolve FAR_TAG pointer chains by iterated gathers.  Each round
     is pointer DOUBLING (a fetched tag is the target's own pointer, so
     every chain halves per round: log2(depth) rounds); round caps
@@ -1279,6 +1315,10 @@ def _far_rounds(out, U, min_hop):
     rounds for the few chains that cross segment boundaries.  Values are
     re-encoded to 18 bits (resolved byte, or bit17 | local target) so
     each gather runs 3 plane-dots instead of 4.
+
+    ``fast``: insert cheap value-chase probe rounds before the full-row
+    doubling level — the archive fast path for offset-resolved streams
+    (see _far_probe_round); semantics unchanged for any stream.
     """
     N = out.shape[0]
     # levels: 4 KiB always (16x cheaper rounds); 16 KiB only at batch
@@ -1301,6 +1341,11 @@ def _far_rounds(out, U, min_hop):
     for S, cap in [(s, c) for s, c in levels
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
+    if fast:
+        # two probes: the depth-1 guarantee plus one slack round for
+        # bytes the encoder's conservative model over-counted
+        out = _far_probe_round(out, U, interpret=interpret)
+        out = _far_probe_round(out, U, interpret=interpret)
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 

@@ -73,6 +73,97 @@ def _call(NP, R, QP, nplanes, interpret):
     )
 
 
+def _probe_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
+    """Pair-packed single-plane probe gather (see probe_gather_pairs).
+
+    Probe entries are 0..256 — every value exactly representable in
+    bfloat16 — so ONE dot fetches them; two queries ride one one-hot
+    column (scales 1 and 1024: 256 + 1024*256 < 2^24 stays f32-exact).
+    A pair hitting the same table ROW would sum scales on one cell
+    (1025: not bf16-exact), so the second query's one-hot is masked
+    there and its value is read from the low half instead (both lanes
+    then come from the same fetched row, which is exact)."""
+    iota_r = lax.broadcasted_iota(jnp.int32, (R, QCHUNK), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (128, QCHUNK), 0)
+    o1 = []
+    o2 = []
+    for rr in range(RB):
+        q1 = idx1_ref[rr : rr + 1]  # [1, QCHUNK]
+        q2 = idx2_ref[rr : rr + 1]
+        r1, r2 = q1 >> 7, q2 >> 7
+        samerow = r1 == r2
+        ohT = ((iota_r == r1).astype(jnp.bfloat16)
+               + jnp.where(samerow, 0.0, 1024.0).astype(jnp.bfloat16)
+               * (iota_r == r2).astype(jnp.bfloat16))  # [R, QCHUNK]
+        plane = data_ref[rr].astype(jnp.bfloat16)  # [R, 128], entries 0..256
+        s = lax.dot_general(
+            plane, ohT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [128, QCHUNK]
+        s1 = jnp.sum(jnp.where(iota_s == (q1 & 127), s, 0.0), axis=0,
+                     keepdims=True).astype(jnp.int32)
+        s2 = jnp.sum(jnp.where(iota_s == (q2 & 127), s, 0.0), axis=0,
+                     keepdims=True).astype(jnp.int32)
+        o1.append(s1 & 1023)
+        o2.append(jnp.where(samerow, s2 & 1023, s2 >> 10))
+    out1_ref[...] = jnp.concatenate(o1, axis=0)
+    out2_ref[...] = jnp.concatenate(o2, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_call(NP, R, QP, interpret):
+    kernel = functools.partial(_probe_kernel, R)
+    return pl.pallas_call(
+        kernel,
+        grid=(NP // RB, QP // QCHUNK),
+        in_specs=[
+            pl.BlockSpec((RB, R, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, QP), jnp.int32),
+            jax.ShapeDtypeStruct((NP, QP), jnp.int32),
+        ],
+        interpret=bool(interpret),
+    )
+
+
+def probe_gather_pairs(probe, idx1, idx2, interpret=False):
+    """out_k[n, q] = probe[n, idx_k[n, q]] for k in {1, 2}, at HALF the
+    one-hot matmul cost of two separate single-plane gathers.
+
+    ``probe`` entries MUST be in [0, 256] (one bf16-exact plane; 256 is
+    the caller's "still live" sentinel).  Out-of-range idx fetches 0.
+    """
+    N, K = probe.shape
+    Q = idx1.shape[1]
+    R = -(-K // 128)
+    QP = -(-Q // QCHUNK) * QCHUNK
+    NP = -(-N // RB) * RB
+    d3 = jnp.pad(probe, ((0, NP - N), (0, R * 128 - K))).reshape(NP, R, 128)
+    oor = K if R * 128 > K else -1  # padded zero column, else flag-select
+    outs = []
+    ins = []
+    for idx in (idx1, idx2):
+        ip = jnp.pad(idx, ((0, NP - N), (0, QP - Q)))
+        ok = (ip >= 0) & (ip < K)
+        ins.append((jnp.where(ok, ip, oor if oor >= 0 else 0), ok))
+    o1, o2 = _probe_call(NP, R, QP, interpret)(d3, ins[0][0], ins[1][0])
+    for o, (_, ok) in zip((o1, o2), ins):
+        outs.append(o[:N, :Q] if oor >= 0 else
+                    jnp.where(ok, o, 0)[:N, :Q])
+    return outs[0], outs[1]
+
+
 def gather_rows_fused(data, idx, nbits=32, interpret=False):
     """out[n, q] = data[n, idx[n, q]] & ((1<<nbits)-1); OOR idx -> 0."""
     N, K = data.shape

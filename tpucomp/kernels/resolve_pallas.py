@@ -98,7 +98,8 @@ def _resolve_call(W, SL, T, S, interpret):
     )
 
 
-def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False):
+def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False,
+                   fast=False):
     """Drop-in for kernels/common.resolve_copies (segment-lane near scan
     in Pallas, pointer-doubling far rounds in XLA).  U must be a
     multiple of 128."""
@@ -128,4 +129,4 @@ def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False):
 
     out = _resolve_call(S, SL, T, S, interpret)(base, v)
     out = out.transpose(1, 2, 0).reshape(NL * 128, S)[:NR].reshape(N, U)
-    return _far_rounds(out, U, S)
+    return _far_rounds(out, U, S, fast=fast, interpret=interpret)

@@ -17,6 +17,102 @@
 #define ERR_BUF (-3)
 #define ERR_AGAIN (-7) /* internal: need more input (streaming) */
 
+/* Encoder option flags (the *_compress_opt entry points). */
+#define OPT_RESOLVE_OFFSETS 1 /* encode-time origin-ascent offset rewrite */
+
+/* Offset-rewrite parameters.  RW_NEAR mirrors the TPU decoder's
+ * in-scan resolve window (kernels/common.py RESOLVE_WINDOW): matches
+ * with d <= RW_NEAR resolve inside the decode scan, so only farther
+ * matches are rewritten (growing a near offset would ADD far tags).
+ * RW_LEVELS caps the ascent on adversarial chain topologies. */
+#define RW_NEAR 512
+#define RW_LEVELS 32
+
+/* Origin-ascent offset rewrite (valid parse choice under [MS-XCA]
+ * §2.1/§2.3: any source span with identical bytes is a legal match).
+ * ``imm[x]`` holds the EMITTED immediate source of byte x (x itself
+ * for literals).  A far match's source span ascends to its deepest
+ * contiguous ancestor level — with earlier matches already rewritten,
+ * that is an all-literal span after 1–2 hops — so a decoder's
+ * data-parallel copy resolution sees depth-1 chains: one gather round
+ * instead of log(depth) pointer-doubling rounds on the archive path.
+ * Foreign decoders are unaffected (the stream stays bit-compatible). */
+static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
+                            int winmax) {
+    if (off <= RW_NEAR || len > off) return off;
+    for (int lvl = 0; lvl < RW_LEVELS; lvl++) {
+        int s = pos - off;
+        int32_t b0 = imm[s];
+        int contig = 1;
+        for (int i = 1; i < len; i++)
+            if (imm[s + i] != b0 + i) { contig = 0; break; }
+        if (!contig || b0 == s) break;
+        int noff = pos - b0;
+        if (noff > winmax) break;
+        off = noff;
+    }
+    return off;
+}
+
+/* Decode-depth model, mirroring the TPU decoder's resolve semantics
+ * (kernels/resolve_pallas.py + kernels/common._far_rounds): copy chains
+ * confined to one RW_SEG-byte segment are resolved by the decoder's
+ * CHEAP segment-level pointer-doubling rounds (gather table = segment);
+ * only a hop that CROSSES a segment boundary costs a full-row dense
+ * round.  ``R[x]`` = dense rounds until byte x is final (0 = final
+ * after the near scan + segment level).  The in-segment chain length is
+ * tracked separately (low bits of the same byte would be overkill —
+ * the decoder's doubling resolves depth 2^cap per level, effectively
+ * unbounded for real streams). */
+#define RW_SEG_SHIFT 12 /* 4096 — kernels/common._far_rounds levels[0] */
+
+static inline int rw_src_fold(int pos, int off, int i) {
+    return (i < off) ? pos - off + i : pos + (i % off);
+}
+
+static inline int rw_depth_prefix(const uint8_t *R, int pos, int off,
+                                  int len, int D) {
+    for (int i = 0; i < len; i++) {
+        int srcf = rw_src_fold(pos, off, i);
+        int nr = R[srcf] +
+                 (((srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT))
+                      ? 0 : 1);
+        if (nr > D) return i;
+    }
+    return len;
+}
+
+static inline void rw_set_depth(uint8_t *R, int pos, int off, int len) {
+    for (int i = 0; i < len; i++) {
+        int srcf = rw_src_fold(pos, off, i);
+        int nr = R[srcf] +
+                 (((srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT))
+                      ? 0 : 1);
+        R[pos + i] = (uint8_t)(nr > 15 ? 15 : nr);
+    }
+}
+
+/* Combined rewrite step: origin ascent (bit 0) + hard decode-depth
+ * bound D = (flags >> 8) & 0xF (0 = unbounded).  May SHORTEN the match
+ * (possibly below the format minimum: caller emits a literal then).
+ * Ascent and depth-shortening interact — a shorter span can ascend
+ * farther and an ascended span is usually shallower — so alternate
+ * twice, then enforce the bound exactly. */
+static inline void rw_apply(const int32_t *imm, const uint8_t *R, int pos,
+                            int *off, int *len, int winmax, int flags) {
+    int D = (flags >> 8) & 0xF;
+    for (int pass = 0; pass < 2; pass++) {
+        if (flags & OPT_RESOLVE_OFFSETS)
+            *off = rw_ascend(imm, pos, *off, *len, winmax);
+        if (!D) return;
+        int ul = rw_depth_prefix(R, pos, *off, *len, D);
+        if (ul == *len) return;
+        *len = ul;
+        if (*len < 3) return;
+    }
+    *len = rw_depth_prefix(R, pos, *off, *len, D);
+}
+
 /* ================= LZNT1 ([MS-XCA] 2.5) ================= */
 
 #define LZ_CHUNK 4096
@@ -213,20 +309,30 @@ static int xpw_finish(xp_writer *w) {
     return w->o;
 }
 
-int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
+                        int flags) {
     static int32_t head[XP_HASH_SIZE];
     /* grown-once scratch arena (single-threaded ctypes usage) */
     static int32_t *prev = 0;
+    static int32_t *imm = 0;
+    static uint8_t *Rd = 0;
     static int prev_cap = 0;
     if (in_len > prev_cap) {
         free(prev);
+        free(imm);
+        free(Rd);
         prev_cap = in_len < (1 << 16) ? (1 << 16) : in_len;
         prev = (int32_t *)malloc((size_t)prev_cap * 4);
-        if (!prev) { prev_cap = 0; return ERR_DATA; }
+        imm = (int32_t *)malloc((size_t)prev_cap * 4);
+        Rd = (uint8_t *)malloc((size_t)prev_cap);
+        if (!prev || !imm || !Rd) { free(prev); free(imm); free(Rd);
+                                    prev = imm = 0; Rd = 0;
+                                    prev_cap = 0; return ERR_DATA; }
     }
     memset(head, -1, sizeof(head));
     xp_writer w = { out, cap, 0, 0, 0, -1, -1 };
     int pos = 0;
+    int bounded = (flags >> 8) & 0xF;
     while (pos < in_len) {
         int best_len = 0, best_off = 0;
         if (pos + 3 <= in_len) {
@@ -237,7 +343,18 @@ int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
                 int lim = in_len - pos;
                 int len = 0;
                 while (len < lim && in[cand + len] == in[pos + len]) len++;
-                if (len > best_len) {
+                if (bounded) {
+                    /* depth-aware selection (see xh_compress_block) */
+                    if (len >= 3) {
+                        int off_c = pos - cand, len_c = len;
+                        rw_apply(imm, Rd, pos, &off_c, &len_c, XP_WINDOW,
+                                 flags);
+                        if (len_c > best_len) {
+                            best_len = len_c; best_off = off_c;
+                            if (best_len >= lim) break;
+                        }
+                    }
+                } else if (len > best_len) {
                     best_len = len;
                     best_off = pos - cand;
                     if (len >= lim) break;
@@ -245,7 +362,14 @@ int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
                 cand = prev[cand];
             }
         }
+        if (best_len >= 3 && flags && !bounded)
+            rw_apply(imm, Rd, pos, &best_off, &best_len, XP_WINDOW, flags);
         if (best_len >= 3) {
+            if (flags) {
+                for (int i = 0; i < best_len; i++)
+                    imm[pos + i] = pos - best_off + i;
+                rw_set_depth(Rd, pos, best_off, best_len);
+            }
             if (xpw_flag(&w, 1)) return ERR_BUF;
             if (w.o + 2 > cap) return ERR_BUF;
             int L = best_len - 3;
@@ -296,6 +420,7 @@ int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
         } else {
             if (xpw_flag(&w, 0)) return ERR_BUF;
             if (w.o >= cap) return ERR_BUF;
+            if (flags) { imm[pos] = pos; Rd[pos] = 0; }
             if (pos + 3 <= in_len) {
                 uint32_t h = xp_hash3(in + pos);
                 prev[pos] = head[h];
@@ -305,6 +430,10 @@ int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
         }
     }
     return xpw_finish(&w);
+}
+
+int xpress_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    return xpress_compress_opt(in, in_len, out, cap, 0);
 }
 
 int xpress_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
@@ -499,9 +628,12 @@ static void xh_canonical(const uint8_t *lens, uint16_t *codes) {
 /* Compress ONE <=64 KiB block (table + bitstream) into out; returns
  * bytes written.  Shared by the one-shot path and the stream
  * compressor (block-local window: identical output either way). */
-static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
+static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
+                             int flags) {
     static int32_t head[XP_HASH_SIZE];
     static int32_t prev_buf[XH_BLOCK];
+    static int32_t imm_buf[XH_BLOCK];
+    static uint8_t R_buf[XH_BLOCK];
     static int32_t tok_pos[XH_BLOCK];
     static int32_t tok_len[XH_BLOCK];
     static int32_t tok_off[XH_BLOCK];
@@ -512,6 +644,7 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
         int T = 0, pos = 0;
         uint32_t freq[XH_SYMS];
         memset(freq, 0, sizeof(freq));
+        int bounded = (flags >> 8) & 0xF;
         while (pos < n) {
             int best_len = 0, best_off = 0;
             if (pos + 3 <= n) {
@@ -522,14 +655,36 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
                     int lim = n - pos;
                     int len = 0;
                     while (len < lim && blk[cand + len] == blk[pos + len]) len++;
-                    if (len > best_len) {
+                    if (bounded) {
+                        /* depth-aware selection: score each candidate
+                         * by its USABLE length after ascent + depth
+                         * bound — a shallower source often beats a
+                         * longer-but-deep one under the bound */
+                        if (len >= 3) {
+                            int off_c = pos - cand, len_c = len;
+                            rw_apply(imm_buf, R_buf, pos, &off_c, &len_c,
+                                     n - 1, flags);
+                            if (len_c > best_len) {
+                                best_len = len_c; best_off = off_c;
+                                if (best_len >= lim) break;
+                            }
+                        }
+                    } else if (len > best_len) {
                         best_len = len; best_off = pos - cand;
                         if (len >= lim) break;
                     }
                     cand = prev_buf[cand];
                 }
             }
+            if (best_len >= 3 && flags && !bounded)
+                rw_apply(imm_buf, R_buf, pos, &best_off, &best_len,
+                         n - 1, flags);
             if (best_len >= 3) {
+                if (flags) {
+                    for (int i = 0; i < best_len; i++)
+                        imm_buf[pos + i] = pos - best_off + i;
+                    rw_set_depth(R_buf, pos, best_off, best_len);
+                }
                 tok_pos[T] = pos; tok_len[T] = best_len; tok_off[T] = best_off; T++;
                 int L = best_len - 3;
                 int obc = 0; while ((1 << (obc + 1)) <= best_off) obc++;
@@ -546,6 +701,7 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
             } else {
                 tok_pos[T] = pos; tok_len[T] = -1; tok_off[T] = blk[pos]; T++;
                 freq[blk[pos]]++;
+                if (flags) { imm_buf[pos] = pos; R_buf[pos] = 0; }
                 if (pos + 3 <= n) {
                     uint32_t h = xp_hash3(blk + pos);
                     prev_buf[pos] = head[h];
@@ -598,7 +754,8 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap) {
     return o;
 }
 
-int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+int xh_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
+                    int flags) {
     int o = 0;
     int nblocks = in_len ? (in_len + XH_BLOCK - 1) / XH_BLOCK : 1;
     for (int bi = 0; bi < nblocks; bi++) {
@@ -606,11 +763,15 @@ int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
         int n = in_len - bi * XH_BLOCK;
         if (n > XH_BLOCK) n = XH_BLOCK;
         if (n < 0) n = 0;
-        int c = xh_compress_block(blk, n, out + o, cap - o);
+        int c = xh_compress_block(blk, n, out + o, cap - o, flags);
         if (c < 0) return c;
         o += c;
     }
     return o;
+}
+
+int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
+    return xh_compress_opt(in, in_len, out, cap, 0);
 }
 
 int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
@@ -754,7 +915,7 @@ static int xh_sc_block(xh_sc *s, const uint8_t *d, int n) {
     if (gb_reserve(&s->out, s->out.len + 264 + 2 * (size_t)XH_BLOCK + 16))
         return ERR_DATA;
     int c = xh_compress_block(d, n, s->out.p + s->out.len,
-                              (int)(s->out.cap - s->out.len));
+                              (int)(s->out.cap - s->out.len), 0);
     if (c < 0) return c;
     s->out.len += (size_t)c;
     return 0;
@@ -972,11 +1133,37 @@ static int xp_sc_parse(xp_sc *s, int final) {
     return 0;
 }
 
+/* Bound input memory at O(XP_WINDOW): once the parse cursor is far
+ * enough along, drop input older than XP_WINDOW behind it and remap the
+ * absolute hash-chain positions (older candidates are out of reach of
+ * any future match anyway).  Amortized O(1)/byte. */
+#define XP_REBASE_MIN (1 << 20)
+
+static void xp_sc_rebase(xp_sc *s) {
+    if (s->pos < XP_REBASE_MIN) return;
+    size_t delta = s->pos - XP_WINDOW;
+    size_t tail = s->in.len - delta;
+    size_t pfx = (s->hfront > delta) ? s->hfront - delta : 0;
+    memmove(s->in.p, s->in.p + delta, tail);
+    for (size_t i = 0; i < pfx; i++) {
+        int32_t p = s->prev[i + delta];
+        s->prev[i] = (p >= (int32_t)delta) ? p - (int32_t)delta : -1;
+    }
+    for (int i = 0; i < XP_HASH_SIZE; i++)
+        s->head[i] =
+            (s->head[i] >= (int32_t)delta) ? s->head[i] - (int32_t)delta : -1;
+    s->in.len = tail;
+    s->pos -= delta;
+    s->hfront = pfx;
+}
+
 int xp_scomp_feed(void *h, const uint8_t *d, int n) {
     xp_sc *s = (xp_sc *)h;
     if (!s || s->finished || n < 0) return ERR_DATA;
     if (gb_put(&s->in, d, (size_t)n)) return ERR_DATA;
-    return xp_sc_parse(s, 0);
+    int rc = xp_sc_parse(s, 0);
+    xp_sc_rebase(s);
+    return rc;
 }
 
 int xp_scomp_finish(void *h) {
