@@ -1,5 +1,8 @@
 """Stage-level profile of the XH decode pipeline on the current backend.
 
+Set TPUCOMP_PROFILE_RESOLVED=1 to profile the archive fast path
+(offset-resolved native streams + fast_resolve decode).
+
 Splits decode wall time into: parse kernel (Pallas scan), record fill
 (fill_records_dense), copy resolve (resolve_pallas / XLA), so perf work
 targets the real bottleneck.  Run on the dev chip:
@@ -7,6 +10,7 @@ targets the real bottleneck.  Run on the dev chip:
     python benchmarks/profile_xh.py [corpus_mb] [reps]
 """
 
+import os
 import sys
 import time
 
@@ -42,7 +46,10 @@ def main():
     # the TPU encoder's streams profile identically and cost minutes)
     from tpucomp import _native
 
-    streams = [_native.xh_compress(u) for u in units]
+    resolved = os.environ.get("TPUCOMP_PROFILE_RESOLVED", "0") == "1"
+    enc = _native.xh_compress_resolved if resolved else _native.xh_compress
+    streams = [enc(u) for u in units]
+    print(f"# resolved-profile streams: {resolved}")
     mode = pallas_mode("TPUCOMP_XH_PALLAS")
     print(f"# corpus {corpus_mb} MB, {len(units)} blocks, mode={mode}")
 
@@ -229,6 +236,18 @@ def main():
     def lvl_final(tg, s):
         return _far_level_segmented(tg + s, U, U)
 
+    from tpucomp.kernels.common import _far_probe_round
+
+    if resolved:
+        def probe2(tg, s):
+            o = _far_probe_round(tg + s, U)
+            return _far_probe_round(o, U)
+
+        afterp = timeit("far:probe2", probe2, tagged0)
+        tp = np.asarray((afterp & FAR_TAG) != 0)
+        print(f"# tags after probe2: {int(tp.sum())} "
+              f"(max/row {int(tp.sum(axis=1).max())})")
+
     after4k = timeit("far:4k", lvl_4k, tagged0)
     t1 = np.asarray((after4k & FAR_TAG) != 0)
     print(f"# tags after 4k level: {int(t1.sum())} "
@@ -241,7 +260,8 @@ def main():
 
     # end-to-end for reference
     def e2e(pay, pl, ol, s):
-        return xh._decode_impl(pay, pl, ol + s, U, ss, mode, rc)[0]
+        return xh._decode_impl(pay, pl, ol + s, U, ss, mode, rc,
+                               fast_resolve=resolved)[0]
 
     timeit("end2end", e2e, d_pay, d_plen, d_olen)
 

@@ -45,6 +45,7 @@ from jax import lax
 from ..errors import DataError
 from ..util import pallas_mode
 from ..kernels.common import (
+    extend_saturated,
     hash_best_match,
     fill_records_delta,
     place_monotone,
@@ -252,6 +253,10 @@ def encode_batch(chunks, clen):
                              hash_bits=_CFG.match.hash_bits,
                              num_cands=_CFG.match.num_candidates,
                              cap=_CFG.match.cap)
+    # unbounded exact lengths for cap-saturated matches (the reference
+    # scan is uncapped; without this the capped finder loses the multi-
+    # KB matches that cover ~12% of the bench corpus)
+    hl = extend_saturated(hl, hd, _CFG.match.cap, n)
     consider(hl, hd, hl >= MIN_MATCH)
 
     # clip to format + chunk limits

@@ -39,6 +39,7 @@ from jax import lax
 from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
+    extend_saturated,
     hash_best_match,
     fill_records_delta2,
     greedy_commit,
@@ -350,6 +351,10 @@ def _encode_impl(units, ulen, U):
     hl, hd = hash_best_match(units, n, hash_bits=_CFG.match.hash_bits,
                              num_cands=_CFG.match.num_candidates,
                              cap=_CFG.match.cap, max_disp=WINDOW)
+    # unbounded exact lengths for cap-saturated matches (the reference
+    # scan is uncapped; without this the capped finder loses the multi-
+    # KB matches that cover ~12% of the bench corpus)
+    hl = extend_saturated(hl, hd, _CFG.match.cap, n)
     consider(hl, hd, hl >= MIN_MATCH)
 
     best_len = jnp.minimum(best_len, in_len - pos)
@@ -504,10 +509,11 @@ def _enc_for(u, jitter=None):
     return _ENCODERS[key]
 
 
-def _dec_for(u, mode=None, jitter=None):
-    key = (u, mode, _jit_key(jitter))
+def _dec_for(u, mode=None, jitter=None, fast_resolve=False):
+    key = (u, mode, _jit_key(jitter), fast_resolve)
     if key not in _DECODERS:
-        _DECODERS[key] = make_decoder(u, mode, jitter)
+        _DECODERS[key] = make_decoder(u, mode, jitter,
+                                      fast_resolve=fast_resolve)
     return _DECODERS[key]
 
 

@@ -42,6 +42,7 @@ from jax import lax
 from ..errors import ArgError, DataError
 from ..util import pad_batch, pallas_mode
 from ..kernels.common import (
+    extend_saturated,
     hash_best_match,
     fill_records_delta,
     fill_records_delta2,
@@ -495,6 +496,10 @@ def _encode_impl(units, ulen, U):
     hl, hd = hash_best_match(units, n, hash_bits=_CFG.match.hash_bits,
                              num_cands=_CFG.match.num_candidates,
                              cap=_CFG.match.cap)
+    # unbounded exact lengths for cap-saturated matches (the reference
+    # scan is uncapped; without this the capped finder loses the multi-
+    # KB matches that cover ~12% of the bench corpus)
+    hl = extend_saturated(hl, hd, _CFG.match.cap, n)
     consider(hl, hd, hl >= MIN_MATCH)
 
     best_len = jnp.minimum(best_len, in_len - pos)

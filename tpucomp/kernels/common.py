@@ -603,7 +603,21 @@ def fill_records_delta2(rec_pos, rec_val, U, keep=None):
     POSITION of its binding record (the token start — needed by the
     periodic-fold in copy resolution).  Positions < U <= 2^16 ride a
     second delta plane (17-bit ring).  Returns (val_fill, pos_fill,
-    overflow)."""
+    overflow).
+
+    Routes to the fused VMEM-resident Pallas pipeline
+    (kernels/fill_pallas) when available: ~66 HBM-streaming XLA passes
+    collapse to one kernel (95 ms -> VPU-bound on the r4 XH profile)."""
+    from ..util import pallas_mode
+
+    N, R = rec_pos.shape
+    fmode = pallas_mode("TPUCOMP_FILL_PALLAS")
+    if fmode is not None and U % 128 == 0 and R <= U:
+        from .fill_pallas import fill_records_delta2_fused
+
+        return fill_records_delta2_fused(
+            rec_pos, rec_val, U, keep if keep is not None else min(R, U),
+            interpret=(fmode == "interpret"))
     (vf, pf), ovf = _fill_expand(
         rec_pos, (rec_val, rec_pos), U, (1 << 22, 1 << 17), keep)
     return vf, pf, ovf
@@ -1102,6 +1116,37 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
     return out[1], out[2]
 
 
+def extend_saturated(length, disp, cap, n=None):
+    """Exact unbounded lengths for cap-saturated hash matches by
+    stride-doubling self-composition.
+
+    The capped finder verifies x[p..p+len) == x[p-d..p-d+len) up to
+    ``cap`` bytes.  If len[p] saturated AND the finder at p+stride
+    chose the SAME displacement, the two verified agreements
+    concatenate: invariant after round k — acc[p] = verified agreement
+    length at (p, disp[p]) capped at stride_k, alive[p] = saturated at
+    stride_k.  log2(n/cap) elementwise static-roll rounds recover the
+    multi-KB matches the reference's uncapped scan finds (measured:
+    native covered 12% of the bench corpus with len>192 matches the
+    capped finder truncated).  Conservative wherever the chain picks a
+    different candidate at p+stride — still a valid parse.
+    """
+    N, nx = length.shape
+    if n is None:
+        n = nx
+    pos = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    acc = length
+    alive = length >= cap
+    stride = cap
+    while stride < n:
+        ok = alive & (pos + stride < n) \
+            & (jnp.roll(disp, -stride, axis=1) == disp)
+        acc = acc + jnp.where(ok, jnp.roll(acc, -stride, axis=1), 0)
+        alive = ok & jnp.roll(alive, -stride, axis=1)
+        stride *= 2
+    return acc
+
+
 def capped_matchlen(w, cand, valid, n, cap=16):
     """Match length (≤ cap) of each row vs itself at candidate positions
     (single-candidate wrapper over multi_matchlens)."""
@@ -1368,10 +1413,17 @@ def _far_level_segmented(out, U, S, cap=None):
     NR = N * nseg
     tagged = ((out & FAR_TAG) != 0).reshape(NR, S)
     src = (out & (FAR_TAG - 1)).reshape(NR, S)  # ABSOLUTE source
-    # 18-bit state: resolved value (<=9 bits), or (1<<17)|abs_src
-    st = jnp.where(tagged, (1 << 17) | src, out.reshape(NR, S) & 0x1FF)
     base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
     max_rounds = cap or (max(1, (S - 1).bit_length()) + 3)
+    # Absolute 18-bit state at every level: a chase that fetches an
+    # out-of-segment pointer ADOPTS it (doubling past the segment), so
+    # in-segment chains stacked on a cross-segment hop collapse onto
+    # the cross TARGET here and cost the dense level only the one round
+    # the archive depth model budgets.  (A 2-plane segment-local
+    # encoding was tried r4: it cannot represent adopted pointers, the
+    # stacked chains re-parked un-doubled, and archive streams paid 2
+    # extra dense rounds — worse than the plane it saved.)
+    st = jnp.where(tagged, (1 << 17) | src, out.reshape(NR, S) & 0x1FF)
 
     def cond(state):
         st, r = state

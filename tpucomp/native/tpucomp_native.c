@@ -65,30 +65,38 @@ static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
  * the decoder's doubling resolves depth 2^cap per level, effectively
  * unbounded for real streams). */
 #define RW_SEG_SHIFT 12 /* 4096 — kernels/common._far_rounds levels[0] */
+/* In-segment chains are resolved by the decoder's segment-level
+ * pointer DOUBLING, capped at 6 rounds (depth 2^6); chains the cap
+ * cannot fully collapse escalate to the expensive dense level, so the
+ * bounded profile also caps the in-segment chain length (tracked in
+ * CL) with margin. */
+#define RW_CHAIN_CAP 48
 
 static inline int rw_src_fold(int pos, int off, int i) {
     return (i < off) ? pos - off + i : pos + (i % off);
 }
 
-static inline int rw_depth_prefix(const uint8_t *R, int pos, int off,
-                                  int len, int D) {
+static inline int rw_depth_prefix(const uint8_t *R, const uint8_t *CL,
+                                  int pos, int off, int len, int D) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
-        int nr = R[srcf] +
-                 (((srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT))
-                      ? 0 : 1);
-        if (nr > D) return i;
+        int same = (srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT);
+        int nr = R[srcf] + (same ? 0 : 1);
+        int ncl = same ? CL[srcf] + 1 : 0;
+        if (nr > D || ncl > RW_CHAIN_CAP) return i;
     }
     return len;
 }
 
-static inline void rw_set_depth(uint8_t *R, int pos, int off, int len) {
+static inline void rw_set_depth(uint8_t *R, uint8_t *CL, int pos, int off,
+                                int len) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
-        int nr = R[srcf] +
-                 (((srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT))
-                      ? 0 : 1);
+        int same = (srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT);
+        int nr = R[srcf] + (same ? 0 : 1);
+        int ncl = same ? CL[srcf] + 1 : 0;
         R[pos + i] = (uint8_t)(nr > 15 ? 15 : nr);
+        CL[pos + i] = (uint8_t)(ncl > 255 ? 255 : ncl);
     }
 }
 
@@ -98,19 +106,20 @@ static inline void rw_set_depth(uint8_t *R, int pos, int off, int len) {
  * Ascent and depth-shortening interact — a shorter span can ascend
  * farther and an ascended span is usually shallower — so alternate
  * twice, then enforce the bound exactly. */
-static inline void rw_apply(const int32_t *imm, const uint8_t *R, int pos,
-                            int *off, int *len, int winmax, int flags) {
+static inline void rw_apply(const int32_t *imm, const uint8_t *R,
+                            const uint8_t *CL, int pos, int *off, int *len,
+                            int winmax, int flags) {
     int D = (flags >> 8) & 0xF;
     for (int pass = 0; pass < 2; pass++) {
         if (flags & OPT_RESOLVE_OFFSETS)
             *off = rw_ascend(imm, pos, *off, *len, winmax);
         if (!D) return;
-        int ul = rw_depth_prefix(R, pos, *off, *len, D);
+        int ul = rw_depth_prefix(R, CL, pos, *off, *len, D);
         if (ul == *len) return;
         *len = ul;
         if (*len < 3) return;
     }
-    *len = rw_depth_prefix(R, pos, *off, *len, D);
+    *len = rw_depth_prefix(R, CL, pos, *off, *len, D);
 }
 
 /* ================= LZNT1 ([MS-XCA] 2.5) ================= */
@@ -316,18 +325,22 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
     static int32_t *prev = 0;
     static int32_t *imm = 0;
     static uint8_t *Rd = 0;
+    static uint8_t *CLd = 0;
     static int prev_cap = 0;
     if (in_len > prev_cap) {
         free(prev);
         free(imm);
         free(Rd);
+        free(CLd);
         prev_cap = in_len < (1 << 16) ? (1 << 16) : in_len;
         prev = (int32_t *)malloc((size_t)prev_cap * 4);
         imm = (int32_t *)malloc((size_t)prev_cap * 4);
         Rd = (uint8_t *)malloc((size_t)prev_cap);
-        if (!prev || !imm || !Rd) { free(prev); free(imm); free(Rd);
-                                    prev = imm = 0; Rd = 0;
-                                    prev_cap = 0; return ERR_DATA; }
+        CLd = (uint8_t *)malloc((size_t)prev_cap);
+        if (!prev || !imm || !Rd || !CLd) {
+            free(prev); free(imm); free(Rd); free(CLd);
+            prev = imm = 0; Rd = CLd = 0;
+            prev_cap = 0; return ERR_DATA; }
     }
     memset(head, -1, sizeof(head));
     xp_writer w = { out, cap, 0, 0, 0, -1, -1 };
@@ -347,8 +360,8 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
                     /* depth-aware selection (see xh_compress_block) */
                     if (len >= 3) {
                         int off_c = pos - cand, len_c = len;
-                        rw_apply(imm, Rd, pos, &off_c, &len_c, XP_WINDOW,
-                                 flags);
+                        rw_apply(imm, Rd, CLd, pos, &off_c, &len_c,
+                                 XP_WINDOW, flags);
                         if (len_c > best_len) {
                             best_len = len_c; best_off = off_c;
                             if (best_len >= lim) break;
@@ -363,12 +376,13 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
             }
         }
         if (best_len >= 3 && flags && !bounded)
-            rw_apply(imm, Rd, pos, &best_off, &best_len, XP_WINDOW, flags);
+            rw_apply(imm, Rd, CLd, pos, &best_off, &best_len, XP_WINDOW,
+                     flags);
         if (best_len >= 3) {
             if (flags) {
                 for (int i = 0; i < best_len; i++)
                     imm[pos + i] = pos - best_off + i;
-                rw_set_depth(Rd, pos, best_off, best_len);
+                rw_set_depth(Rd, CLd, pos, best_off, best_len);
             }
             if (xpw_flag(&w, 1)) return ERR_BUF;
             if (w.o + 2 > cap) return ERR_BUF;
@@ -420,7 +434,7 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
         } else {
             if (xpw_flag(&w, 0)) return ERR_BUF;
             if (w.o >= cap) return ERR_BUF;
-            if (flags) { imm[pos] = pos; Rd[pos] = 0; }
+            if (flags) { imm[pos] = pos; Rd[pos] = 0; CLd[pos] = 0; }
             if (pos + 3 <= in_len) {
                 uint32_t h = xp_hash3(in + pos);
                 prev[pos] = head[h];
@@ -634,6 +648,7 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
     static int32_t prev_buf[XH_BLOCK];
     static int32_t imm_buf[XH_BLOCK];
     static uint8_t R_buf[XH_BLOCK];
+    static uint8_t CL_buf[XH_BLOCK];
     static int32_t tok_pos[XH_BLOCK];
     static int32_t tok_len[XH_BLOCK];
     static int32_t tok_off[XH_BLOCK];
@@ -662,8 +677,8 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
                          * longer-but-deep one under the bound */
                         if (len >= 3) {
                             int off_c = pos - cand, len_c = len;
-                            rw_apply(imm_buf, R_buf, pos, &off_c, &len_c,
-                                     n - 1, flags);
+                            rw_apply(imm_buf, R_buf, CL_buf, pos, &off_c,
+                                     &len_c, n - 1, flags);
                             if (len_c > best_len) {
                                 best_len = len_c; best_off = off_c;
                                 if (best_len >= lim) break;
@@ -677,13 +692,13 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
                 }
             }
             if (best_len >= 3 && flags && !bounded)
-                rw_apply(imm_buf, R_buf, pos, &best_off, &best_len,
+                rw_apply(imm_buf, R_buf, CL_buf, pos, &best_off, &best_len,
                          n - 1, flags);
             if (best_len >= 3) {
                 if (flags) {
                     for (int i = 0; i < best_len; i++)
                         imm_buf[pos + i] = pos - best_off + i;
-                    rw_set_depth(R_buf, pos, best_off, best_len);
+                    rw_set_depth(R_buf, CL_buf, pos, best_off, best_len);
                 }
                 tok_pos[T] = pos; tok_len[T] = best_len; tok_off[T] = best_off; T++;
                 int L = best_len - 3;
@@ -701,7 +716,8 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
             } else {
                 tok_pos[T] = pos; tok_len[T] = -1; tok_off[T] = blk[pos]; T++;
                 freq[blk[pos]]++;
-                if (flags) { imm_buf[pos] = pos; R_buf[pos] = 0; }
+                if (flags) { imm_buf[pos] = pos; R_buf[pos] = 0;
+                             CL_buf[pos] = 0; }
                 if (pos + 3 <= n) {
                     uint32_t h = xp_hash3(blk + pos);
                     prev_buf[pos] = head[h];
