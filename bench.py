@@ -65,9 +65,9 @@ STAGES = [
     ("xh_decode", 700),
     ("xpress", 480),
     ("xh_encode", 600),
-    ("ratio_vs_ref", 300),
+    ("ratio_vs_ref", 600),
 ]
-DEFAULT_BUDGET_S = 2700.0
+DEFAULT_BUDGET_S = 3000.0
 
 
 # --------------------------------------------------------------------------
@@ -712,7 +712,15 @@ def stage_ratio_vs_ref(out: StageOut):
     """Encoder-quality bar (BASELINE north star: <= ms-compress size):
     TPU compressed bytes vs the native C reference implementation on the
     SAME slice.  batch_multiple is pinned to the proven bench widths so
-    this stage reuses the persistent-cache compiles."""
+    this stage reuses the persistent-cache compiles.
+
+    Two operating points per format: the throughput stages' DEFAULT
+    match-finder effort (reported *_ratio_vs_ref_fast — the ratio the
+    measured GB/s actually achieves) and a HIGH-QUALITY effort profile
+    (the primary *_ratio_vs_ref; CPU-measured sweep 2026-08-21: effort
+    (16 cands, cap 128, hash 15) + extend_saturated reached xpress
+    0.9983 / xh 0.9891 on this slice).  The hq profile ladders down if
+    its wider sort programs fail to compile on the dev chip."""
     _setup_jax()
     from benchmarks.corpus import silesia_like
     import tpucomp
@@ -724,9 +732,29 @@ def stage_ratio_vs_ref(out: StageOut):
     ref_b = "cpu" if have_cpu else "oracle"
     sl = data[: (2 << 20) if have_cpu else (256 << 10)]
     out["ratio_ref_backend"] = ref_b
-    old_bm = _CFG.batch_multiple
+    old = (_CFG.batch_multiple, _CFG.match.num_candidates,
+           _CFG.match.cap, _CFG.match.hash_bits)
+
+    def set_effort(prof):
+        (_CFG.match.num_candidates, _CFG.match.cap,
+         _CFG.match.hash_bits) = prof
+        # effort is read at trace time: drop cached encoders
+        from tpucomp.codecs import lznt1 as lzm, xpress as xpm
+        from tpucomp.codecs import xpress_huff as xhm
+
+        for m in (lzm, xpm, xhm):
+            getattr(m, "_ENCODERS", {}).clear()
+
+    def tpu_bytes_for(fmt, XU):
+        if fmt == "xpress":
+            units = [sl[i : i + XU] for i in range(0, len(sl), XU)]
+            return sum(
+                len(s) for s in tpucomp.compress_batch("xpress", units))
+        return len(tpucomp.compress(fmt, sl, backend="tpu"))
+
     try:
         for fmt in ("lznt1", "xpress", "xpress_huff"):
+            XU = 65536
             if fmt == "lznt1":
                 _CFG.batch_multiple = st.get("lznt1_N", {}).get("good") or 512
             elif fmt == "xpress":
@@ -734,16 +762,23 @@ def stage_ratio_vs_ref(out: StageOut):
                 _CFG.batch_multiple = max(8, len(sl) // XU)
             else:
                 _CFG.batch_multiple = st.get("xh_NE", {}).get("good") or 32
-            if fmt == "xpress":
-                units = [sl[i : i + XU] for i in range(0, len(sl), XU)]
-                tpu_bytes = sum(
-                    len(s) for s in tpucomp.compress_batch("xpress", units))
-            else:
-                tpu_bytes = len(tpucomp.compress(fmt, sl, backend="tpu"))
             ref_bytes = len(tpucomp.compress(fmt, sl, backend=ref_b))
-            out[f"{fmt}_ratio_vs_ref"] = round(tpu_bytes / ref_bytes, 4)
+            set_effort((3, 32, 13))  # throughput-stage default
+            out[f"{fmt}_ratio_vs_ref_fast"] = round(
+                tpu_bytes_for(fmt, XU) / ref_bytes, 4)
+            for prof in ((16, 128, 15), (8, 96, 14), (3, 32, 13)):
+                try:
+                    set_effort(prof)
+                    tb = tpu_bytes_for(fmt, XU)
+                    out[f"{fmt}_ratio_vs_ref"] = round(tb / ref_bytes, 4)
+                    out[f"{fmt}_ratio_effort"] = list(prof)
+                    break
+                except Exception as e:  # noqa: BLE001 — compile-size fail
+                    _log(f"ratio {fmt} effort {prof} failed: {e}"[:200])
     finally:
-        _CFG.batch_multiple = old_bm
+        (_CFG.batch_multiple, _CFG.match.num_candidates,
+         _CFG.match.cap, _CFG.match.hash_bits) = old
+        set_effort(old[1:])
 
 
 STAGE_FNS = {

@@ -70,9 +70,10 @@ class TestEncodeValidity:
         data = corpus(65536)
         c_t = len(t_lznt1.compress(data))
         c_o = len(o_lznt1.compress(data))
-        # ratcheted gate (VERDICT r2 weak #3): measured 1.016 on this
-        # corpus at default effort; the BASELINE bar is <= oracle size
-        assert c_t <= c_o * 1.03, (c_t, c_o)
+        # ratcheted gate: measured 1.0023 on this corpus at default
+        # effort after the saturated-match extension; BASELINE bar is
+        # <= oracle size
+        assert c_t <= c_o * 1.01, (c_t, c_o)
 
     def test_rle_compresses_hard(self):
         data = b"\x00" * 40960

@@ -113,9 +113,11 @@ class TestEncodeValidity:
         [s] = t_xh.compress_units([data], unit_size=16384)
         from tpucomp.oracle import xpress_huff as oxh
         s_o = oxh.compress(data)
-        # ratcheted gate (VERDICT r2 weak #3): measured 1.040 on this
-        # corpus at default effort; the BASELINE bar is <= oracle size
-        assert len(s) <= len(s_o) * 1.06, (len(s), len(s_o))
+        # BASELINE bar: <= oracle size.  Measured 0.986 on this corpus
+        # at default effort after the saturated-match extension
+        # (kernels/common.extend_saturated) — the gate now enforces the
+        # bar itself, not the status quo (VERDICT r3 weak #6)
+        assert len(s) <= len(s_o) * 1.00, (len(s), len(s_o))
 
 
 def test_encode_batch_cap_slices(corpus, monkeypatch):
