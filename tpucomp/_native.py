@@ -159,7 +159,7 @@ def _call_opt(fn, data: bytes, out_cap: int, flags: int) -> bytes:
     return out.raw[:rc]
 
 
-def xh_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
+def xh_compress_resolved(data: bytes, max_depth: int = 2) -> bytes:
     """xh_compress with the archive-decode profile: encode-time
     origin-ascent offset rewrite plus a HARD bound on the data-parallel
     decoder's copy-resolution depth (``max_depth`` gather rounds after
@@ -167,7 +167,12 @@ def xh_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
     or dropped).  Output is standard [MS-XCA] §2.1/2.2 — any decoder
     accepts it; the TPU decoder's far while_loops converge in
     ``max_depth`` rounds.  ``max_depth=0`` disables the bound (ascent
-    only)."""
+    only).
+
+    Default 2 = the TPU decoder's archive fast path budget (TWO
+    value-chase probe rounds, kernels/common._far_rounds fast=True), so
+    the extra depth is free at decode time; measured on the 8 MB bench
+    slice it keeps +5.3% over unresolved vs +8.2% at depth 1."""
     n = len(data)
     nb = max(1, (n + 65535) // 65536)
     return _call_opt(_load().xh_compress_opt, bytes(data),
@@ -175,7 +180,7 @@ def xh_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
                      OPT_RESOLVE_OFFSETS | _depth_flags(max_depth))
 
 
-def xpress_compress_resolved(data: bytes, max_depth: int = 1) -> bytes:
+def xpress_compress_resolved(data: bytes, max_depth: int = 2) -> bytes:
     """xpress_compress with the archive-decode profile (ascent capped
     by the format's 8192-byte window).  See xh_compress_resolved."""
     n = len(data)

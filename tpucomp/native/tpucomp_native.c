@@ -66,23 +66,45 @@ static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
  * unbounded for real streams). */
 #define RW_SEG_SHIFT 12 /* 4096 — kernels/common._far_rounds levels[0] */
 /* In-segment chains are resolved by the decoder's segment-level
- * pointer DOUBLING, capped at 6 rounds (depth 2^6); chains the cap
- * cannot fully collapse escalate to the expensive dense level, so the
- * bounded profile also caps the in-segment chain length (tracked in
- * CL) with margin. */
-#define RW_CHAIN_CAP 48
+ * pointer DOUBLING (cond-driven: rounds run only while live in-segment
+ * chains remain, so the encoder-side cap directly sets the decoder's
+ * round count at ceil(log2(cap))).  With near-walk adoption charging
+ * same-512 hops zero links (rw_state below), tightening the cap from
+ * 48 to 8 measured +0.00% size on the 8 MB bench slice while cutting
+ * the decoder's 4 KiB level from ~6 rounds to 3. */
+#ifndef RW_CHAIN_CAP
+#define RW_CHAIN_CAP 8
+#endif
+/* Near-walk granule: the decoder's Pallas near scan (resolve_pallas.py,
+ * SEG=512) walks each 512-byte segment sequentially and copies window
+ * VALUES verbatim — a hop whose source lies in the SAME 512-segment
+ * therefore ADOPTS the source's pointer state (final byte or far tag)
+ * at zero chain cost.  Charging such hops +1 chain link (the pre-r4
+ * model) over-counted the common small-offset case and shortened
+ * matches the decoder resolves for free. */
+#define RW_NEAR_SHIFT 9
 
 static inline int rw_src_fold(int pos, int off, int i) {
     return (i < off) ? pos - off + i : pos + (i % off);
+}
+
+static inline void rw_state(const uint8_t *R, const uint8_t *CL, int srcf,
+                            int dst, int *nr, int *ncl) {
+    if ((srcf >> RW_NEAR_SHIFT) == (dst >> RW_NEAR_SHIFT)) {
+        *nr = R[srcf]; *ncl = CL[srcf]; /* near-walk adoption */
+    } else if ((srcf >> RW_SEG_SHIFT) == (dst >> RW_SEG_SHIFT)) {
+        *nr = R[srcf]; *ncl = CL[srcf] + 1; /* in-segment doubling */
+    } else {
+        *nr = R[srcf] + 1; *ncl = 0; /* cross-segment: one dense round */
+    }
 }
 
 static inline int rw_depth_prefix(const uint8_t *R, const uint8_t *CL,
                                   int pos, int off, int len, int D) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
-        int same = (srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT);
-        int nr = R[srcf] + (same ? 0 : 1);
-        int ncl = same ? CL[srcf] + 1 : 0;
+        int nr, ncl;
+        rw_state(R, CL, srcf, pos + i, &nr, &ncl);
         if (nr > D || ncl > RW_CHAIN_CAP) return i;
     }
     return len;
@@ -92,9 +114,8 @@ static inline void rw_set_depth(uint8_t *R, uint8_t *CL, int pos, int off,
                                 int len) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
-        int same = (srcf >> RW_SEG_SHIFT) == ((pos + i) >> RW_SEG_SHIFT);
-        int nr = R[srcf] + (same ? 0 : 1);
-        int ncl = same ? CL[srcf] + 1 : 0;
+        int nr, ncl;
+        rw_state(R, CL, srcf, pos + i, &nr, &ncl);
         R[pos + i] = (uint8_t)(nr > 15 ? 15 : nr);
         CL[pos + i] = (uint8_t)(ncl > 255 ? 255 : ncl);
     }
