@@ -748,10 +748,23 @@ def stage_ratio_vs_ref(out: StageOut):
 
         for m in (lzm, xpm, xhm):
             getattr(m, "_ENCODERS", {}).clear()
+        xpm._SENCODERS.clear()
         lzm.encode_batch.clear_cache()
 
     def tpu_bytes_for(fmt, XU):
         if fmt == "xpress":
+            # one-shot single stream (8 KiB window rolls across unit
+            # boundaries like the reference's own one-shot); per-unit
+            # batch as the fallback if the stream program won't compile
+            try:
+                from tpucomp.codecs import xpress as _xp
+
+                s = _xp.compress_stream(sl)
+                out["xpress_ratio_single_stream"] = True
+                return len(s)
+            except Exception as e:  # noqa: BLE001
+                _log(f"xpress stream encode failed, per-unit: {e}"[:160])
+                out["xpress_ratio_single_stream"] = False
             units = [sl[i : i + XU] for i in range(0, len(sl), XU)]
             return sum(
                 len(s) for s in tpucomp.compress_batch("xpress", units))
@@ -760,13 +773,19 @@ def stage_ratio_vs_ref(out: StageOut):
     try:
         for fmt in ("lznt1", "xpress", "xpress_huff"):
             XU = 65536
+            # the hq profiles are FRESH compiles regardless of width (the
+            # effort knobs are program shapes), so don't pay the proven
+            # throughput widths here — the slice's own width compiles
+            # 4-16x faster and that's what kept timing this stage out
             if fmt == "lznt1":
-                _CFG.batch_multiple = st.get("lznt1_N", {}).get("good") or 512
+                good = st.get("lznt1_N", {}).get("good") or 512
+                _CFG.batch_multiple = min(good, max(8, len(sl) // 4096))
             elif fmt == "xpress":
                 XU = st.get("xp_XU", {}).get("good") or 65536
                 _CFG.batch_multiple = max(8, len(sl) // XU)
             else:
-                _CFG.batch_multiple = st.get("xh_NE", {}).get("good") or 32
+                good = st.get("xh_NE", {}).get("good") or 32
+                _CFG.batch_multiple = min(good, max(8, len(sl) // 65536))
             ref_bytes = len(tpucomp.compress(fmt, sl, backend=ref_b))
             set_effort((3, 32, 13))  # throughput-stage default
             out[f"{fmt}_ratio_vs_ref_fast"] = round(

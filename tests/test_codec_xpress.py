@@ -128,3 +128,62 @@ def test_xpress_64k_units_long_matches(rng):
     out = xp.decompress_units(streams, [len(u) for u in units],
                               unit_size=65536)
     assert out == units
+
+
+class TestStreamEncoder:
+    """Single-stream one-shot encode (codecs.xpress.compress_stream):
+    ONE standard [MS-XCA] §2.3 stream with the 8 KiB window rolling
+    across unit boundaries — reference one-shot parity (SURVEY.md §2
+    row 4), validated by oracle AND native decode."""
+
+    def _check(self, data):
+        from tpucomp import _native
+        from tpucomp.codecs import xpress as xp
+        from tpucomp.oracle import xpress as oxp
+
+        s = xp.compress_stream(data)
+        assert oxp.decompress(s, len(data)) == data
+        assert _native.xpress_decompress(s, len(data)) == data
+        return s
+
+    def test_boundary_crossing_sizes(self, corpus):
+        for n in (65537, 70000, 131072, 150001):
+            self._check(corpus(n))
+
+    def test_cross_boundary_window_pays(self, corpus):
+        # self-similar data: the rolled window must beat per-unit
+        from tpucomp.codecs import xpress as xp
+
+        data = corpus(65536) * 3
+        s = self._check(data)
+        per = sum(len(x) for x in xp.compress_units(
+            [data[i:i + 65536] for i in range(0, len(data), 65536)]))
+        assert len(s) < per
+
+    def test_periodic_and_random(self, rng):
+        self._check(b"ab" * 40000)
+        self._check(bytes(rng.randrange(256) for _ in range(100000)))
+
+    def test_chunked_equals_single_dispatch(self, corpus):
+        # host-carried boundary state must be byte-identical to the
+        # one-dispatch layout (the parse is chunk-invariant)
+        from tpucomp.codecs import xpress as xp
+        from tpucomp.config import DEFAULT as CFG
+
+        data = corpus(640000)
+        one = self._check(data)
+        old = CFG.encode_batch_cap
+        try:
+            CFG.encode_batch_cap = 8  # 8-unit dispatches -> 2 chunks
+            many = self._check(data)
+        finally:
+            CFG.encode_batch_cap = old
+        assert many == one
+
+    def test_oneshot_compress_routes_large(self, corpus):
+        from tpucomp import _native
+        from tpucomp.codecs import xpress as xp
+
+        data = corpus(200000)
+        s = xp.compress(data)
+        assert _native.xpress_decompress(s, len(data)) == data

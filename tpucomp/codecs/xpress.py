@@ -491,6 +491,348 @@ def _encode_impl(units, ulen, U):
 
 
 # --------------------------------------------------------------------------
+# Single-stream encode: ONE [MS-XCA] §2.3 stream over consecutive units
+# --------------------------------------------------------------------------
+#
+# The reference's one-shot encoder (SURVEY.md §2 row 4) compresses a
+# whole buffer as one stream with the 8 KiB window rolling across it.
+# The per-unit batch above loses that window at every 64 KiB boundary
+# (measured +2.3% on the bench slice vs the native one-shot).  This
+# variant closes the gap while keeping every lane data-parallel:
+#
+# * match finding sees the PREVIOUS unit's last 8 KiB as history
+#   (sources cross unit boundaries; emitted offsets stay in-window);
+# * the flag-word groups (32 tokens), the shared-nibble pairing and
+#   every byte offset are computed in GLOBAL stream coordinates via
+#   two-level cumsums (per-lane cumsum + exclusive scan over lane
+#   totals) — no sequential dependency between lanes;
+# * the two true cross-lane couplings — a flag group spanning a lane
+#   boundary and a nibble pair split across lanes — are resolved with
+#   one segmented suffix-OR over the [N] lane axis and one
+#   next-lane-value exchange.
+#
+# Chunked operation (inputs larger than one dispatch) carries four
+# scalars between dispatches (token phase mod 32, nibble parity, the
+# last flag word's stream position, a pending nibble-byte position) and
+# patches at most 5 already-emitted bytes per boundary on the host.
+
+
+def _next_from_right(has, val):
+    """nxt[i] = val[j] for the SMALLEST j > i with has[j] (0 if none)."""
+    h = jnp.flip(has)
+    v = jnp.flip(val)
+
+    def comb(a, b):  # inclusive scan, latest set element wins
+        return (a[0] | b[0], jnp.where(b[0], b[1], a[1]))
+
+    hh, vv = lax.associative_scan(comb, (h, v))
+    ge_h = jnp.flip(hh)
+    ge_v = jnp.flip(vv)
+    z = jnp.zeros((1,), val.dtype)
+    return (
+        jnp.concatenate([ge_h[1:], jnp.zeros((1,), bool)]),
+        jnp.concatenate([ge_v[1:], z]),
+    )
+
+
+def _encode_stream_impl(units, ulen, hist0, h0v, t0, k0, U):
+    """One chunk of the single-stream encoder.
+
+    units[i] are CONSECUTIVE segments of one buffer (all full except
+    possibly the last non-empty lane).  ``hist0``/``h0v``: the 8 KiB
+    preceding lane 0 (from the previous chunk) and its validity.
+    ``t0``: global token count mod 32 before this chunk; ``k0``: global
+    nibble-user parity.  Returns per-lane payload planes in chunk-local
+    byte coordinates plus the boundary scalars the host carries.
+    """
+    N, n = units.shape
+    assert n == U
+    H = WINDOW
+    z32 = jnp.int32
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=z32)[None, :], (N, n))
+    in_len = ulen[:, None]
+    lanes = jnp.arange(N, dtype=z32)
+
+    # ---- candidates over history-extended rows ----
+    hist = jnp.concatenate([hist0[None, :], units[:-1, -H:]], axis=0)
+    xext = jnp.concatenate([hist, units], axis=1)
+    hval = ((lanes > 0) | (h0v > 0))[:, None]  # lane's history is real
+    pe = jnp.broadcast_to(jnp.arange(H + n, dtype=z32)[None, :], (N, H + n))
+    best_len = jnp.zeros((N, H + n), z32)
+    best_disp = jnp.ones((N, H + n), z32)
+
+    def consider(length, disp, cond):
+        nonlocal best_len, best_disp
+        # sources before the stream start are padding, never valid
+        ok = cond & (hval | (pe - disp >= H)) & (length > best_len)
+        best_len = jnp.where(ok, length, best_len)
+        best_disp = jnp.where(ok, disp, best_disp)
+
+    from ..config import DEFAULT as _CFG
+
+    run_disps = _CFG.match.run_disps
+    for d, ml in zip(run_disps, run_matchlens(xext, run_disps)):
+        consider(ml, jnp.full((N, H + n), d, z32), ml >= MIN_MATCH)
+    hl, hd = hash_best_match(xext, H + n, hash_bits=_CFG.match.hash_bits,
+                             num_cands=_CFG.match.num_candidates,
+                             cap=_CFG.match.cap, max_disp=WINDOW)
+    hl = extend_saturated(hl, hd, _CFG.match.cap, H + n)
+    consider(hl, hd, hl >= MIN_MATCH)
+
+    best_len = jnp.minimum(best_len, (H + ulen)[:, None] - pe)
+    bl = best_len[:, H:]
+    bd = best_disp[:, H:]
+    is_match = (bl >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)
+    next_bl = jnp.concatenate([bl[:, 1:], jnp.zeros((N, 1), z32)], axis=1)
+    is_match = is_match & ~(next_bl > bl)
+
+    committed = greedy_commit(is_match, bl, pos < in_len)
+    iscp_pm = committed & is_match
+    L_pm = bl - MIN_MATCH
+
+    # ---- global token / nibble / byte coordinates (two-level cumsums)
+    nib_user = iscp_pm & (L_pm >= 7)
+    nu_inc = jnp.cumsum(nib_user.astype(z32), axis=1)
+    nu_tot = nu_inc[:, -1]
+    Koff = jnp.cumsum(nu_tot) - nu_tot + k0
+    kidx_g = nu_inc - nib_user.astype(z32) + Koff[:, None]
+    opens_pm = nib_user & ((kidx_g & 1) == 0)
+    extra_pm, _, rem_p, big_p = _match_extra_sizes(L_pm, opens_pm)
+    tok_sz = jnp.where(iscp_pm, 2 + extra_pm, jnp.where(committed, 1, 0))
+    d_cum = jnp.cumsum(tok_sz, axis=1)
+    data_before = d_cum - tok_sz
+    dt = d_cum[:, -1]
+    Doff = jnp.cumsum(dt) - dt
+    t_after = jnp.cumsum(committed.astype(z32), axis=1)
+    Tl = t_after[:, -1]
+    Toff = jnp.cumsum(Tl) - Tl + t0
+    t_g = t_after - 1 + Toff[:, None]
+    grp_g = t_g >> 5
+    G0w = (t0 + 31) >> 5  # flag words living in PREVIOUS chunks
+    off_c = 4 * (grp_g + 1 - G0w) + data_before + Doff[:, None]
+    Bv = 4 * ((Toff >> 5) + ((Toff & 31) != 0).astype(z32) - G0w) + Doff
+    offl = off_c - Bv[:, None]
+    Ttot = Toff[-1] + Tl[-1]
+    Ktot = Koff[-1] + nu_tot[-1]
+    Bend = (4 * ((Ttot >> 5) + ((Ttot & 31) != 0).astype(z32) - G0w)
+            + Doff[-1] + dt[-1])
+    plen = jnp.concatenate([Bv[1:], Bend[None]]) - Bv
+
+    # ---- token values ----
+    tokv = jnp.left_shift(bd - 1, 3) | jnp.minimum(L_pm, 7)
+    nibval = jnp.minimum(rem_p, 15)
+    b0 = jnp.where(iscp_pm, tokv & 0xFF, units)
+
+    MAXPG = max_payload(n) + 8
+    bq = jnp.broadcast_to(
+        jnp.arange(MAXPG, dtype=z32)[None, :], (N, MAXPG))
+
+    def rolled_or(planes, base=None):
+        acc = planes[0] if base is None else base | planes[0]
+        for k in range(1, len(planes)):
+            acc = acc | jnp.roll(planes[k], k, axis=1)
+        return acc
+
+    # ---- nibble pairing in GLOBAL pair space (localized per lane) ----
+    kpair = kidx_g >> 1
+    pl_pair = kpair - (Koff >> 1)[:, None]
+    is_open = opens_pm
+    is_part = nib_user & ~opens_pm
+    PAIRS = n // 2 + 2
+    mlow, mpos1 = place_monotone(
+        ~is_open, jnp.where(is_open, pl_pair, -1),
+        (nibval, offl + 3), PAIRS)
+    mhigh = place_monotone(
+        ~is_part, jnp.where(is_part, pl_pair, -1), nibval, PAIRS)
+    nibbyte_m = mlow | (mhigh << 4)
+    nib_plane = place_monotone(mpos1 == 0, mpos1 - 1, nibbyte_m, MAXPG)
+
+    # cross-lane pair: a lane ending on an unpartnered opener receives
+    # the NEXT users-lane's first nibble into that byte's high half
+    lane_users = nu_tot > 0
+    dang_lane = lane_users & (((Koff + nu_tot - 1) & 1) == 0)
+    last_user = nib_user & (nu_inc == nu_tot[:, None])
+    dang_pos_l = jnp.sum(jnp.where(last_user & is_open, offl + 2, 0),
+                         axis=1)
+    first_user = nib_user & (nu_inc == 1)
+    fval = jnp.sum(jnp.where(first_user, nibval, 0), axis=1)
+    nxt_has, nxt_val = _next_from_right(lane_users, fval)
+    patch_v = jnp.where(dang_lane & nxt_has, nxt_val << 4, 0)
+    nib_patch = jnp.where(bq == dang_pos_l[:, None], patch_v[:, None], 0)
+    # boundary scalars: the chunk-global dangling position (last
+    # users-lane only) and the chunk's first nibble value
+    dangp = jnp.max(jnp.where(dang_lane & ~nxt_has, Bv + dang_pos_l, -1))
+    fu_idx = jnp.argmax(lane_users)
+    fu_val = fval[fu_idx]
+    fu_has = jnp.any(lane_users)
+
+    # ---- flag words in GLOBAL group space (localized per lane) ----
+    NGL = n // 32 + 2
+    gl = grp_g - (Toff >> 5)[:, None]
+    bits = jnp.where(committed & iscp_pm,
+                     jnp.left_shift(z32(1), 31 - (t_g & 31)), 0)
+    fb_loc = scatter_sorted_or(jnp.where(t_g >= 0, gl, -1), bits, NGL)
+    # merge bits of groups that span lane boundaries into the owner
+    key = jnp.where(Tl > 0, Toff >> 5, (1 << 28) + lanes)
+    head = fb_loc[:, 0]
+    contrib = jnp.where((Tl > 0) & ((Toff & 31) != 0), head, 0)
+
+    def comb2(a, b):  # segmented OR (same-key runs are contiguous)
+        return (b[0], b[1] | jnp.where(a[0] == b[0], a[1], 0))
+
+    _, sc = lax.associative_scan(
+        comb2, (jnp.flip(key), jnp.flip(contrib)))
+    acc = jnp.flip(sc)
+    accn = jnp.concatenate([acc[1:], jnp.zeros((1,), z32)])
+    keyn = jnp.concatenate([key[1:], jnp.full((1,), -7, z32)])
+    G_last = jnp.where(Tl > 0, (Toff + Tl - 1) >> 5, -9)
+    incoming = jnp.where(keyn == G_last, accn, 0)
+    gl_last = jnp.where(Tl > 0, G_last - (Toff >> 5), -1)
+    colg = jnp.arange(NGL, dtype=z32)[None, :]
+    fb_loc = fb_loc | jnp.where(
+        colg == gl_last[:, None], incoming[:, None], 0)
+    # bits this chunk contributes to the PREVIOUS chunk's open group
+    head0 = jnp.where((t0 & 31) != 0, jnp.where(key[0] == 0, acc[0], 0), 0)
+    # NO pad bits here: the host patches the final flag word at flush
+    gfirst = committed & ((t_g & 31) == 0) & (t_g >= 0)
+    fpos1 = place_monotone(~gfirst, jnp.where(gfirst, gl, -1),
+                           offl - 3, NGL)
+    flag_planes = place_monotone(
+        fpos1 == 0, fpos1 - 1,
+        tuple((fb_loc >> (8 * k)) & 0xFF for k in range(4)), MAXPG)
+    lastf = jnp.max(jnp.where(gfirst, off_c - 4, -1))
+
+    # ---- escape bytes (identical to the per-unit layout) ----
+    esc0 = offl + 2 + opens_pm.astype(z32)
+    has_esc = iscp_pm & (rem_p >= 15)
+    has_big = iscp_pm & big_p
+    esc_bv = jnp.where(big_p, 255, jnp.maximum(rem_p - 15, 0))
+    u16v = jnp.where(L_pm < 0x10000, L_pm, 0)
+    has_u32 = has_big & (L_pm >= 0x10000)
+    tok_planes = place_monotone(
+        ~committed, jnp.where(committed, offl, -1),
+        (jnp.where(committed, b0, 0), jnp.where(iscp_pm, tokv >> 8, 0)),
+        MAXPG)
+    esc_vals = (
+        jnp.where(has_esc, esc_bv, 0),
+        jnp.where(has_big, u16v & 0xFF, 0),
+        jnp.where(has_big, u16v >> 8, 0),
+    ) + tuple(
+        jnp.where(has_u32, (L_pm >> (8 * k)) & 0xFF, 0) for k in range(4)
+    )
+    esc_planes = place_monotone(
+        ~has_esc, jnp.where(has_esc, esc0, -1), esc_vals, MAXPG)
+    val = (
+        rolled_or(tok_planes)
+        | rolled_or(esc_planes)
+        | nib_plane
+        | nib_patch
+        | rolled_or(flag_planes)
+    )
+    payload = jnp.where(bq < plen[:, None], val, 0)
+    return (payload, plen, Ttot, Ktot, head0, lastf, dangp,
+            fu_val, fu_has)
+
+
+def make_stream_encoder(u: int, jitter=None):
+    if u > 65536:
+        raise ArgError("xpress unit_size must be <= 65536")
+    if u < WINDOW:
+        # each lane's history is the previous lane's tail; smaller units
+        # would need multi-lane history assembly
+        raise ArgError("stream encoder needs unit_size >= 8192")
+
+    def enc(units, ulen, hist0, h0v, t0, k0):
+        return _encode_stream_impl(units, ulen, hist0, h0v, t0, k0, u)
+
+    return (jitter or jax.jit)(enc)
+
+
+_SENCODERS = {}
+
+
+def _senc_for(u, jitter=None):
+    key = (u, _jit_key(jitter))
+    if key not in _SENCODERS:
+        _SENCODERS[key] = make_stream_encoder(u, jitter)
+    return _SENCODERS[key]
+
+
+def compress_stream(data: bytes, unit_size=UNIT, jitter=None,
+                    gather=np.asarray) -> bytes:
+    """Compress ``data`` of ANY size into ONE standard [MS-XCA] §2.3
+    Xpress stream on device (matches cross unit boundaries through the
+    8 KiB window; flag/nibble state threads globally).  Chunked over
+    encode_batch_cap-bounded dispatches with host-carried boundary
+    state; at most 5 bytes per chunk boundary are patched host-side."""
+    data = bytes(data)
+    if not data:
+        return b""
+    U = unit_size
+    units_all = [data[i: i + U] for i in range(0, len(data), U)]
+    from ..config import DEFAULT as _CFG
+
+    g = 8
+    cap = max(g, (_CFG.encode_batch_cap * 65536) // U // g * g)
+    enc = _senc_for(U, jitter)
+    out = bytearray()
+    t_phase = 0
+    k_par = 0
+    pend_flag = None  # stream offset of the last emitted flag word
+    pend_nib = None  # stream offset of an unpartnered nibble byte
+    H = WINDOW
+    for c0 in range(0, len(units_all), cap):
+        chunk = units_all[c0: c0 + cap]
+        N = pad_batch(len(chunk), 8)
+        ua = np.zeros((N, U), np.int32)
+        ul = np.zeros(N, np.int32)
+        for i, ud in enumerate(chunk):
+            a = np.frombuffer(ud, np.uint8)
+            ua[i, : len(a)] = a
+            ul[i] = len(a)
+        if c0:
+            hprev = np.frombuffer(units_all[c0 - 1][-H:], np.uint8)
+            h0 = np.zeros(H, np.int32)
+            h0[H - len(hprev):] = hprev
+            h0v = 1
+        else:
+            h0 = np.zeros(H, np.int32)
+            h0v = 0
+        (payload, plen, Ttot, Ktot, head0, lastf, dangp, fu_val,
+         fu_has) = enc(jnp.asarray(ua), jnp.asarray(ul), jnp.asarray(h0),
+                       jnp.int32(h0v), jnp.int32(t_phase),
+                       jnp.int32(k_par))
+        payload = gather(payload)
+        plen = gather(plen)
+        (Ttot, Ktot, head0, lastf, dangp, fu_val, fu_has) = (
+            int(Ttot), int(Ktot), int(head0) & 0xFFFFFFFF, int(lastf),
+            int(dangp), int(fu_val), bool(fu_has))
+        base = len(out)
+        if head0 and pend_flag is not None:
+            w = int.from_bytes(out[pend_flag: pend_flag + 4], "little")
+            out[pend_flag: pend_flag + 4] = (w | head0).to_bytes(
+                4, "little")
+        if fu_has and pend_nib is not None:
+            out[pend_nib] |= (fu_val << 4) & 0xF0
+            pend_nib = None
+        for i in range(len(chunk)):
+            out += payload[i, : int(plen[i])].astype(np.uint8).tobytes()
+        if lastf >= 0:
+            pend_flag = base + lastf
+        if fu_has:  # chunk had nibble users: parity may have flipped
+            pend_nib = base + dangp if (Ktot & 1) else None
+        t_phase = Ttot & 31
+        k_par = Ktot & 1
+    if t_phase and pend_flag is not None:
+        # final flag word: unused token bits are 1s per the encoder
+        # convention ([MS-XCA] §2.4 / SURVEY.md §8.2)
+        w = int.from_bytes(out[pend_flag: pend_flag + 4], "little")
+        pad = (1 << (32 - t_phase)) - 1
+        out[pend_flag: pend_flag + 4] = (w | pad).to_bytes(4, "little")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Host wrappers: unit-batch bytes API (used by dist + tests)
 # --------------------------------------------------------------------------
 
@@ -613,13 +955,18 @@ def _oneshot_unit(n: int) -> int:
 
 
 def compress(data: bytes) -> bytes:
-    """One-shot plain-Xpress compress on device (<= 64 KiB: one unit is
-    one standard [MS-XCA] §2.3 stream; larger raises — see
-    _oneshot_unit)."""
+    """One-shot plain-Xpress compress on device: ONE standard [MS-XCA]
+    §2.3 stream for any input size (<= 64 KiB as a single unit; larger
+    via the single-stream chunked encoder with the 8 KiB window rolling
+    across unit boundaries).  NOTE: one-shot *decode* of large single
+    streams remains host work by format design (see _oneshot_unit /
+    decompress) — the stream has no discoverable internal boundaries."""
     data = bytes(data)
     if not data:
         return b""
-    return compress_units([data], unit_size=_oneshot_unit(len(data)))[0]
+    if len(data) <= 65536:
+        return compress_units([data], unit_size=_oneshot_unit(len(data)))[0]
+    return compress_stream(data)
 
 
 def decompress(data: bytes, out_len=None) -> bytes:
