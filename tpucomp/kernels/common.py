@@ -1387,10 +1387,19 @@ def _far_rounds(out, U, min_hop, fast=False, interpret=False):
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
     if fast:
-        # two probes: the depth-1 guarantee plus one slack round for
-        # bytes the encoder's conservative model over-counted
-        out = _far_probe_round(out, U, interpret=interpret)
-        out = _far_probe_round(out, U, interpret=interpret)
+        # cond-driven value-chase probes, capped at the archive
+        # encoder's depth budget (_native.*_compress_resolved default
+        # max_depth=2): depth-1 streams pay ONE probe, depth-2 two,
+        # and a batch the segment level already cleared pays none
+        def pcond(state):
+            st, r = state
+            return jnp.any((st & FAR_TAG) != 0) & (r < 2)
+
+        def pround(state):
+            st, r = state
+            return _far_probe_round(st, U, interpret=interpret), r + 1
+
+        out, _ = lax.while_loop(pcond, pround, (out, jnp.int32(0)))
     out = _far_level_segmented(out, U, U)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
