@@ -293,8 +293,9 @@ def main():
                   f"corebound={rows[-1]['eff_corebound']:.3f}",
                   file=sys.stderr, flush=True)
         report["pipelines"][name] = rows
-    with open(ART, "w") as fh:
-        json.dump(report, fh, indent=1)
+        # incremental write: a timeout mid-sweep keeps finished pipelines
+        with open(ART, "w") as fh:
+            json.dump(report, fh, indent=1)
     print(json.dumps(report))
 
 

@@ -53,6 +53,20 @@ def _shr(x, sh, fill):
     return jnp.where(cols >= sh, pltpu.roll(x, sh, 1), fill)
 
 
+UNROLL = True  # static loop bounds -> static pltpu.roll shifts (a
+# dynamic lane-rotate costs several times a static shift on the VPU;
+# the unrolled Mosaic program is ~3*17 pass bodies and still compiles)
+
+
+def _loop(nb, body, init):
+    if UNROLL:
+        st = init
+        for b in range(nb):
+            st = body(b, st)
+        return st
+    return lax.fori_loop(0, nb, body, init)
+
+
 def _build_kernel(U, keep, nb):
     def kernel(pos_ref, val_ref, vf_ref, pf_ref, ovf_ref):
         pos = pos_ref[...]  # [RB, U]
@@ -68,7 +82,7 @@ def _build_kernel(U, keep, nb):
         def psum_body(b, x):
             return x + _shr(x, jnp.left_shift(1, b), 0)
 
-        inc = lax.fori_loop(0, nb, psum_body, e)
+        inc = _loop(nb, psum_body, e)
         rem = jnp.where(last, inc - e, -1)
         cnt = U - jnp.max(inc, axis=1, keepdims=True)
         ovf_ref[...] = jnp.broadcast_to(
@@ -90,7 +104,7 @@ def _build_kernel(U, keep, nb):
                              jnp.where(stay, rem, -1))
             return rem2, mv(pos), mv(val)
 
-        rem, k, v = lax.fori_loop(0, nb, compact_body, (rem, pos, val))
+        rem, k, v = _loop(nb, compact_body, (rem, pos, val))
         okay = rem >= 0
 
         # per-record deltas (mod ring) + expand shift
@@ -117,7 +131,7 @@ def _build_kernel(U, keep, nb):
                              jnp.where(stay, rem, -1))
             return rem2, mv(dv), mv(dp)
 
-        rem2, dv, dp = lax.fori_loop(0, nb, expand_body, (rem2, dv, dp))
+        rem2, dv, dp = _loop(nb, expand_body, (rem2, dv, dp))
 
         # inclusive prefix sums reconstruct the piecewise-constant fill
         def csum_body(b, st):
@@ -125,7 +139,7 @@ def _build_kernel(U, keep, nb):
             sh = jnp.left_shift(1, b)
             return dv + _shr(dv, sh, 0), dp + _shr(dp, sh, 0)
 
-        dv, dp = lax.fori_loop(0, nb, csum_body, (dv, dp))
+        dv, dp = _loop(nb, csum_body, (dv, dp))
         vf_ref[...] = dv & (V_RING - 1)
         pf_ref[...] = dp & (P_RING - 1)
 
