@@ -739,7 +739,8 @@ def stage_ratio_vs_ref(out: StageOut):
 
     def set_effort(prof):
         (_CFG.match.num_candidates, _CFG.match.cap,
-         _CFG.match.hash_bits) = prof
+         _CFG.match.hash_bits) = prof[:3]
+        _CFG.match.second_hash_cands = prof[3] if len(prof) > 3 else 0
         # effort is read at trace time: drop cached encoders (lznt1's
         # entry is a module-level @jax.jit — clear its trace cache too,
         # or the hq profile silently reuses the default-effort program)
@@ -790,7 +791,19 @@ def stage_ratio_vs_ref(out: StageOut):
             set_effort((3, 32, 13))  # throughput-stage default
             out[f"{fmt}_ratio_vs_ref_fast"] = round(
                 tpu_bytes_for(fmt, XU) / ref_bytes, 4)
-            for prof in ((16, 128, 15), (8, 96, 14), (3, 32, 13)):
+            # hq ladders (CPU-measured 2026-08-21, this slice): lznt1
+            # (16,128,15) -> 0.9948 on-device; xpress/xh wide-cap
+            # profiles beat the bar but their 24-32-word-plane sorts
+            # do NOT AOT-compile through the tunnel in budget — the
+            # dual-hash profile (24 cands + 16 5-byte-seed cands at
+            # cap 32) keeps the default effort's sort SHAPE and
+            # measured xpress 0.9985 / xh 0.9882
+            if fmt == "lznt1":
+                ladder_p = ((16, 128, 15), (8, 96, 14), (3, 32, 13))
+            else:
+                ladder_p = ((24, 32, 15, 16), (16, 32, 15, 8),
+                            (3, 32, 13))
+            for prof in ladder_p:
                 try:
                     set_effort(prof)
                     tb = tpu_bytes_for(fmt, XU)

@@ -501,6 +501,13 @@ def _encode_impl(units, ulen, U):
     # KB matches that cover ~12% of the bench corpus)
     hl = extend_saturated(hl, hd, _CFG.match.cap, n)
     consider(hl, hd, hl >= MIN_MATCH)
+    if _CFG.match.second_hash_cands:
+        h5l, h5d = hash_best_match(
+            units, n, hash_bits=_CFG.match.hash_bits,
+            num_cands=_CFG.match.second_hash_cands,
+            cap=_CFG.match.cap, seed=5)
+        h5l = extend_saturated(h5l, h5d, _CFG.match.cap, n)
+        consider(h5l, h5d, h5l >= MIN_MATCH)
 
     best_len = jnp.minimum(best_len, in_len - pos)
     is_match = (best_len >= MIN_MATCH) & (pos + MIN_MATCH <= in_len)

@@ -28,6 +28,11 @@ class MatchFinderConfig:
     num_candidates: int = 3  # same-hash candidates tried per position
     cap: int = 32  # capped compare depth (bytes) for hash candidates
     run_disps: Tuple[int, ...] = (1, 2, 3)  # exact small-displacement runs
+    # second finder pass with a 5-byte hash seed (0 = off): unions a
+    # longer-match-biased candidate set at the same sort shape per pass
+    # (hq ratio profiles; the wide-cap alternative blows the compile
+    # budget through the remote AOT helper)
+    second_hash_cands: int = 0
 
 
 @dataclass

@@ -1058,7 +1058,7 @@ def hash_candidates(x, hash_bits=13, num_cands=2, pos_bits=None):
 
 
 def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
-                    pos_bits=None, max_disp=None):
+                    pos_bits=None, max_disp=None, seed=3):
     """Best hash-chain match per position, computed IN SORT ORDER.
 
     Fuses hash_candidates + multi_matchlens: the cap/4 comparison words
@@ -1069,6 +1069,11 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
     capped match among the ``num_cands`` most recent same-hash earlier
     positions (ties -> most recent), (0, 1) where none.  Candidate set,
     lengths and tie-breaks are identical to the unfused pair.
+
+    ``seed``: bytes hashed for the chain key (3 default; 5 biases the
+    candidate set toward longer matches — a SECOND finder pass at
+    seed=5 unioned with seed=3 recovers mid-length matches the 3-byte
+    chains lose to depth, at the same sort shape per pass).
     """
     N, nx = x.shape
     if num_cands <= 0:
@@ -1081,6 +1086,10 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
     tri = (
         x | (jnp.roll(x, -1, axis=1) << 8) | (jnp.roll(x, -2, axis=1) << 16)
     ).astype(jnp.uint32)
+    if seed == 5:
+        hi = (jnp.roll(x, -3, axis=1)
+              | (jnp.roll(x, -4, axis=1) << 8)).astype(jnp.uint32)
+        tri = tri ^ (hi * jnp.uint32(0x85EBCA6B))
     h = ((tri * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - hash_bits)).astype(
         jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
