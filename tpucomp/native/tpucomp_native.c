@@ -71,9 +71,10 @@ static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
  * round count at ceil(log2(cap))).  With near-walk adoption charging
  * same-512 hops zero links (rw_state below), tightening the cap from
  * 48 to 8 measured +0.00% size on the 8 MB bench slice while cutting
- * the decoder's 4 KiB level from ~6 rounds to 3. */
+ * the decoder's 4 KiB level from ~6 rounds to 3; 8 -> 4 costs +0.07%
+ * (XH) / +0.11% (XP) and saves one more round (2 total). */
 #ifndef RW_CHAIN_CAP
-#define RW_CHAIN_CAP 8
+#define RW_CHAIN_CAP 4
 #endif
 /* Near-walk granule: the decoder's Pallas near scan (resolve_pallas.py,
  * SEG=512) walks each 512-byte segment sequentially and copies window
@@ -889,6 +890,98 @@ int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
             for (int k = 0; k < len; k++, o++) out[o] = out[o - (int)off];
         }
         /* writer-layout span: 2*(2+f)+raw, f = max(0, ceil(bits/16)-1) */
+        int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
+        i = start + 2 * (2 + flushes) + raw_used;
+    }
+    return o;
+}
+
+/* Debug variant: records each output byte's source displacement (0 for
+ * literals) and its token's first output position — inputs to offline
+ * analysis of the data-parallel decoder's resolve schedule (chain
+ * depth censuses vs the archive encoder's R/CL model). */
+int xh_decompress_dbg(const uint8_t *in, int in_len, uint8_t *out,
+                      int out_len, int32_t *disp, int32_t *tokp) {
+    static uint16_t lut[1 << XH_MAXLEN];
+    int i = 0, o = 0;
+    while (o < out_len) {
+        if (i + 256 > in_len) return ERR_DATA;
+        uint8_t lens[XH_SYMS];
+        for (int k = 0; k < 256; k++) {
+            lens[2 * k] = in[i + k] & 0xF;
+            lens[2 * k + 1] = in[i + k] >> 4;
+        }
+        i += 256;
+        uint16_t codes[XH_SYMS];
+        xh_canonical(lens, codes);
+        memset(lut, 0xFF, sizeof(lut));
+        for (int s = 0; s < XH_SYMS; s++) {
+            if (!lens[s]) continue;
+            int span = 1 << (XH_MAXLEN - lens[s]);
+            int base = codes[s] << (XH_MAXLEN - lens[s]);
+            for (int k = 0; k < span; k++) lut[base + k] = (uint16_t)((s << 4) | lens[s]);
+        }
+        uint32_t bitbuf = 0;
+        int bitcount = 0, bits_used = 0, raw_used = 0;
+        int start = i, p = i;
+        uint32_t w0 = 0, w1 = 0;
+        w0 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
+        w1 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
+        bitbuf = (w0 << 16) | w1;
+        bitcount = 32;
+        int block_end = o + XH_BLOCK;
+        if (block_end > out_len) block_end = out_len;
+        while (o < block_end) {
+            uint16_t e = lut[(bitbuf >> 17) & 0x7FFF];
+            if (e == 0xFFFF) return ERR_DATA;
+            int sym = e >> 4, sl = e & 0xF;
+            bitbuf <<= sl; bitcount -= sl; bits_used += sl;
+            if (bitcount < 16) {
+                uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                bitbuf |= wnext << (16 - bitcount);
+                p += 2; bitcount += 16;
+            }
+            if (sym < 256) {
+                disp[o] = 0; tokp[o] = o;
+                out[o++] = (uint8_t)sym;
+                continue;
+            }
+            int m = sym - 256;
+            int obc = m >> 4;
+            uint32_t L = (uint32_t)(m & 0xF);
+            uint32_t off = (1u << obc);
+            if (obc) {
+                off |= (bitbuf >> (32 - obc));
+                bitbuf <<= obc; bitcount -= obc; bits_used += obc;
+                if (bitcount < 16) {
+                    uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                    bitbuf |= wnext << (16 - bitcount);
+                    p += 2; bitcount += 16;
+                }
+            }
+            if (L == 15) {
+                if (p >= in_len) return ERR_DATA;
+                uint32_t b = in[p++]; raw_used++;
+                if (b == 255) {
+                    uint32_t u16 = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
+                    p += 2; raw_used += 2;
+                    if (u16 == 0) {
+                        if (p + 4 > in_len) return ERR_DATA;
+                        memcpy(&u16, in + p, 4); p += 4; raw_used += 4;
+                    }
+                    L = u16;
+                } else {
+                    L = b + 15;
+                }
+            }
+            int len = (int)L + 3;
+            if ((int)off > o || o + len > out_len) return ERR_DATA;
+            int t0 = o;
+            for (int k = 0; k < len; k++, o++) {
+                disp[o] = (int32_t)off; tokp[o] = t0;
+                out[o] = out[o - (int)off];
+            }
+        }
         int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
         i = start + 2 * (2 + flushes) + raw_used;
     }
