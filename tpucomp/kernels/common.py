@@ -1392,14 +1392,25 @@ def _far_rounds(out, U, min_hop, fast=False, interpret=False):
     # tags) and a U/4-keep compacted tier (3 iterations of gather +
     # monotone expand cost ~195 ms MORE than the dense rounds they
     # saved) measured as net losses and are gone.
+    #
+    # Archive round counts (census, benchmarks/analyze_chain_depth.py):
+    # RW_CHAIN_CAP=8 streams need exactly 3 segment rounds (a depth-k
+    # chain resolves in ceil(log2(k))+1 — the +1 fetches the terminus
+    # VALUE after the pointer doubles onto it).  Three A/B bench runs
+    # (r4s2, 64 MB corpus, NBD=512): cond-driven rounds measured
+    # FASTEST (0.1408 GB/s) vs static-3 (0.1232) and static-2 (0.1047,
+    # leftovers hit ~35 ms dense mop-up rounds) — the while cond's
+    # any() costs less than the round it skips, here as in the probes.
     for S, cap in [(s, c) for s, c in levels
                    if min_hop < s < U and U % s == 0]:
         out = _far_level_segmented(out, U, S, cap=cap)
     if fast:
         # cond-driven value-chase probes, capped at the archive
         # encoder's depth budget (_native.*_compress_resolved default
-        # max_depth=2): depth-1 streams pay ONE probe, depth-2 two,
-        # and a batch the segment level already cleared pays none
+        # max_depth=2): batches whose cross-segment tags the first
+        # probe fully clears skip the second.  A/B on the 64 MB bench
+        # corpus (r4s2): this measured 0.1408 GB/s vs 0.1232 for two
+        # straight-line probes — the any() early-exit pays here.
         def pcond(state):
             st, r = state
             return jnp.any((st & FAR_TAG) != 0) & (r < 2)
@@ -1413,7 +1424,7 @@ def _far_rounds(out, U, min_hop, fast=False, interpret=False):
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
-def _far_level_segmented(out, U, S, cap=None):
+def _far_level_segmented(out, U, S, cap=None, static_rounds=None):
     """Pointer-doubling rounds with rows cut into S-wide segments (the
     gather table is the segment: MACs per round scale with S, not U).
     Chains whose current source crosses a segment boundary stay tagged
@@ -1461,7 +1472,11 @@ def _far_level_segmented(out, U, S, cap=None):
             st, jnp.where(chase, srcp - base, 0), nbits=18)
         return jnp.where(chase, f, st), r + 1
 
-    st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
+    if static_rounds is not None:
+        for _ in range(static_rounds):
+            st, _ = round_((st, jnp.int32(0)))
+    else:
+        st, _ = lax.while_loop(cond, round_, (st, jnp.int32(0)))
     live = (st >> 17) == 1
     res = jnp.where(live, FAR_TAG | (st & 0x1FFFF), st & 0x1FF)
     return res.reshape(N, U)

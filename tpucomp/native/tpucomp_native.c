@@ -71,10 +71,11 @@ static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
  * round count at ceil(log2(cap))).  With near-walk adoption charging
  * same-512 hops zero links (rw_state below), tightening the cap from
  * 48 to 8 measured +0.00% size on the 8 MB bench slice while cutting
- * the decoder's 4 KiB level from ~6 rounds to 3; 8 -> 4 costs +0.07%
- * (XH) / +0.11% (XP) and saves one more round (2 total). */
+ * the decoder's 4 KiB level from ~6 rounds to 3 (a depth-k chain
+ * needs ceil(log2(k))+1 doubling rounds — the +1 fetches the terminus
+ * value; tightening to 4 saves no round and costs +0.07%). */
 #ifndef RW_CHAIN_CAP
-#define RW_CHAIN_CAP 4
+#define RW_CHAIN_CAP 8
 #endif
 /* Near-walk granule: the decoder's Pallas near scan (resolve_pallas.py,
  * SEG=512) walks each 512-byte segment sequentially and copies window
