@@ -196,12 +196,20 @@ class TestOneShotTPUBackend:
         co = oracle.compress(data)
         assert tpucomp.decompress("xpress", co, len(data), backend="tpu") == data
 
-    def test_xpress_tpu_oneshot_cap_documented(self, corpus):
+    def test_xpress_tpu_oneshot_large(self, corpus):
+        # COMPRESS covers any size since the single-stream encoder
+        # (codecs.xpress.compress_stream): one standard [MS-XCA] §2.3
+        # stream, window rolling across unit boundaries.  One-shot
+        # DECODE of a large single stream remains host work by format
+        # design (no discoverable internal boundaries) and still raises.
         import tpucomp
 
         data = corpus(70000)
-        with pytest.raises(tpucomp.UnsupportedFormatError):
-            tpucomp.compress("xpress", data, backend="tpu")
+        s = tpucomp.compress("xpress", data, backend="tpu")
+        assert tpucomp.decompress("xpress", s, len(data),
+                                  backend="cpu") == data
+        assert tpucomp.decompress("xpress", s, len(data),
+                                  backend="oracle") == data
         with pytest.raises(tpucomp.UnsupportedFormatError):
             tpucomp.decompress("xpress", b"\0" * 10, 70000, backend="tpu")
 
