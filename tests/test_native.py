@@ -71,6 +71,35 @@ class TestXH:
         c_o = o_xh.compress(data)
         assert _native.xh_decompress(c_o, len(data)) == data
 
+    def test_dbg_decoder_matches_production(self, corpus):
+        """xh_decompress_dbg shares the production parse loop; pin the
+        equality so the offline resolve-schedule census (benchmarks/
+        analyze_chain_depth.py) measures the token stream the real
+        decoder sees."""
+        import ctypes
+
+        import numpy as np
+
+        data = corpus(150000)  # multi-block
+        c = _native.xh_compress(data)
+        lib = _native._load()
+        fn = lib.xh_decompress_dbg
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                       ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        out = ctypes.create_string_buffer(len(data))
+        disp = np.zeros(len(data), np.int32)
+        tokp = np.zeros(len(data), np.int32)
+        rc = fn(c, len(c), out, len(data),
+                disp.ctypes.data, tokp.ctypes.data)
+        assert rc == len(data)
+        assert out.raw == data == _native.xh_decompress(c, len(data))
+        # every copy byte's recorded source reproduces the output
+        j = np.arange(len(data))
+        a = np.frombuffer(data, np.uint8)
+        cp = disp > 0
+        assert (a[(j - disp)[cp]] == a[cp]).all()
+
 
 class TestRegistry:
     def test_cpu_backend_registered(self, corpus):

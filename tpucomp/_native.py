@@ -159,20 +159,32 @@ def _call_opt(fn, data: bytes, out_cap: int, flags: int) -> bytes:
     return out.raw[:rc]
 
 
-def xh_compress_resolved(data: bytes, max_depth: int = 2) -> bytes:
+def _default_depth() -> int:
+    # The TPU decoder's archive probe budget: archives written at this
+    # depth resolve entirely in the cheap value-chase probe rounds.
+    from .kernels.common import ARCHIVE_PROBE_BUDGET
+
+    return ARCHIVE_PROBE_BUDGET
+
+
+def xh_compress_resolved(data: bytes, max_depth: int | None = None) -> bytes:
     """xh_compress with the archive-decode profile: encode-time
     origin-ascent offset rewrite plus a HARD bound on the data-parallel
     decoder's copy-resolution depth (``max_depth`` gather rounds after
     the in-scan near window; matches that would exceed it are shortened
     or dropped).  Output is standard [MS-XCA] §2.1/2.2 — any decoder
-    accepts it; the TPU decoder's far while_loops converge in
-    ``max_depth`` rounds.  ``max_depth=0`` disables the bound (ascent
-    only).
+    accepts it.  ``max_depth=0`` disables the bound (ascent only).
 
-    Default 2 = the TPU decoder's archive fast path budget (TWO
-    value-chase probe rounds, kernels/common._far_rounds fast=True), so
-    the extra depth is free at decode time; measured on the 8 MB bench
-    slice it keeps +5.3% over unresolved vs +8.2% at depth 1."""
+    Default = kernels.common.ARCHIVE_PROBE_BUDGET, the TPU decoder's
+    archive fast-path budget (value-chase probe rounds in
+    kernels/common._far_rounds fast=True), so default-depth archives
+    resolve entirely in the cheap probes.  Deeper bounds stay correct —
+    chains past the probe budget fall through to the decoder's dense
+    mop-up level — but the fast path no longer covers them.  Measured
+    on the 8 MB bench slice depth 2 keeps +5.3% over unresolved vs
+    +8.2% at depth 1."""
+    if max_depth is None:
+        max_depth = _default_depth()
     n = len(data)
     nb = max(1, (n + 65535) // 65536)
     return _call_opt(_load().xh_compress_opt, bytes(data),
@@ -180,9 +192,11 @@ def xh_compress_resolved(data: bytes, max_depth: int = 2) -> bytes:
                      OPT_RESOLVE_OFFSETS | _depth_flags(max_depth))
 
 
-def xpress_compress_resolved(data: bytes, max_depth: int = 2) -> bytes:
+def xpress_compress_resolved(data: bytes, max_depth: int | None = None) -> bytes:
     """xpress_compress with the archive-decode profile (ascent capped
     by the format's 8192-byte window).  See xh_compress_resolved."""
+    if max_depth is None:
+        max_depth = _default_depth()
     n = len(data)
     return _call_opt(_load().xpress_compress_opt, bytes(data),
                      n + 4 * (n // 32 + 2) + 16,

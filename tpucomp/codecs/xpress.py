@@ -766,7 +766,12 @@ _SENCODERS = {}
 
 
 def _senc_for(u, jitter=None):
-    key = (u, _jit_key(jitter))
+    from ..config import DEFAULT as _CFG
+
+    # the traced program bakes in trace-time match config — key on its
+    # fingerprint so later config changes retrace instead of silently
+    # reusing a stale encoder
+    key = (u, _jit_key(jitter), _CFG.match.fingerprint())
     if key not in _SENCODERS:
         _SENCODERS[key] = make_stream_encoder(u, jitter)
     return _SENCODERS[key]
@@ -859,7 +864,9 @@ def _jit_key(jitter):
 
 
 def _enc_for(u, jitter=None):
-    key = (u, _jit_key(jitter))
+    from ..config import DEFAULT as _CFG
+
+    key = (u, _jit_key(jitter), _CFG.match.fingerprint())
     if key not in _ENCODERS:
         _ENCODERS[key] = make_encoder(u, jitter)
     return _ENCODERS[key]

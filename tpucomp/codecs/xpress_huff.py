@@ -680,7 +680,9 @@ def _jit_key(jitter):
 
 
 def _enc_for(u, jitter=None):
-    key = (u, _jit_key(jitter))
+    from ..config import DEFAULT as _CFG
+
+    key = (u, _jit_key(jitter), _CFG.match.fingerprint())
     if key not in _ENCODERS:
         _ENCODERS[key] = make_encoder(u, jitter)
     return _ENCODERS[key]

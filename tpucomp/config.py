@@ -34,6 +34,13 @@ class MatchFinderConfig:
     # budget through the remote AOT helper)
     second_hash_cands: int = 0
 
+    def fingerprint(self):
+        """Hashable trace-relevant identity, used in jitted-encoder cache
+        keys so a config change after first use gets a fresh trace
+        instead of a stale cached program."""
+        return (self.hash_bits, self.num_candidates, self.cap,
+                tuple(self.run_disps), self.second_hash_cands)
+
 
 @dataclass
 class ResolveConfig:

@@ -813,7 +813,15 @@ int xh_compress(const uint8_t *in, int in_len, uint8_t *out, int cap) {
     return xh_compress_opt(in, in_len, out, cap, 0);
 }
 
-int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
+/* Shared XH parse loop.  ``disp``/``tokp`` (both-or-neither) record each
+ * output byte's source displacement (0 for literals) and its token's
+ * first output position — inputs to offline resolve-schedule analysis.
+ * static inline + compile-time-NULL call site: the production
+ * xh_decompress wrapper constant-folds the recording branches away, so
+ * there is exactly ONE parse loop to maintain. */
+static inline int xh_decompress_impl(const uint8_t *in, int in_len,
+                                     uint8_t *out, int out_len,
+                                     int32_t *disp, int32_t *tokp) {
     static uint16_t lut[1 << XH_MAXLEN]; /* (sym<<4)|len */
     int i = 0, o = 0;
     while (o < out_len) {
@@ -855,95 +863,7 @@ int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
                 p += 2; bitcount += 16;
             }
             if (sym < 256) {
-                out[o++] = (uint8_t)sym;
-                continue;
-            }
-            int m = sym - 256;
-            int obc = m >> 4;
-            uint32_t L = (uint32_t)(m & 0xF);
-            uint32_t off = (1u << obc);
-            if (obc) {
-                off |= (bitbuf >> (32 - obc));
-                bitbuf <<= obc; bitcount -= obc; bits_used += obc;
-                if (bitcount < 16) {
-                    uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
-                    bitbuf |= wnext << (16 - bitcount);
-                    p += 2; bitcount += 16;
-                }
-            }
-            if (L == 15) {
-                if (p >= in_len) return ERR_DATA;
-                uint32_t b = in[p++]; raw_used++;
-                if (b == 255) {
-                    uint32_t u16 = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
-                    p += 2; raw_used += 2;
-                    if (u16 == 0) {
-                        if (p + 4 > in_len) return ERR_DATA;
-                        memcpy(&u16, in + p, 4); p += 4; raw_used += 4;
-                    }
-                    L = u16;
-                } else {
-                    L = b + 15;
-                }
-            }
-            int len = (int)L + 3;
-            if ((int)off > o || o + len > out_len) return ERR_DATA;
-            for (int k = 0; k < len; k++, o++) out[o] = out[o - (int)off];
-        }
-        /* writer-layout span: 2*(2+f)+raw, f = max(0, ceil(bits/16)-1) */
-        int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
-        i = start + 2 * (2 + flushes) + raw_used;
-    }
-    return o;
-}
-
-/* Debug variant: records each output byte's source displacement (0 for
- * literals) and its token's first output position — inputs to offline
- * analysis of the data-parallel decoder's resolve schedule (chain
- * depth censuses vs the archive encoder's R/CL model). */
-int xh_decompress_dbg(const uint8_t *in, int in_len, uint8_t *out,
-                      int out_len, int32_t *disp, int32_t *tokp) {
-    static uint16_t lut[1 << XH_MAXLEN];
-    int i = 0, o = 0;
-    while (o < out_len) {
-        if (i + 256 > in_len) return ERR_DATA;
-        uint8_t lens[XH_SYMS];
-        for (int k = 0; k < 256; k++) {
-            lens[2 * k] = in[i + k] & 0xF;
-            lens[2 * k + 1] = in[i + k] >> 4;
-        }
-        i += 256;
-        uint16_t codes[XH_SYMS];
-        xh_canonical(lens, codes);
-        memset(lut, 0xFF, sizeof(lut));
-        for (int s = 0; s < XH_SYMS; s++) {
-            if (!lens[s]) continue;
-            int span = 1 << (XH_MAXLEN - lens[s]);
-            int base = codes[s] << (XH_MAXLEN - lens[s]);
-            for (int k = 0; k < span; k++) lut[base + k] = (uint16_t)((s << 4) | lens[s]);
-        }
-        uint32_t bitbuf = 0;
-        int bitcount = 0, bits_used = 0, raw_used = 0;
-        int start = i, p = i;
-        uint32_t w0 = 0, w1 = 0;
-        w0 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
-        w1 = (p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8); p += 2;
-        bitbuf = (w0 << 16) | w1;
-        bitcount = 32;
-        int block_end = o + XH_BLOCK;
-        if (block_end > out_len) block_end = out_len;
-        while (o < block_end) {
-            uint16_t e = lut[(bitbuf >> 17) & 0x7FFF];
-            if (e == 0xFFFF) return ERR_DATA;
-            int sym = e >> 4, sl = e & 0xF;
-            bitbuf <<= sl; bitcount -= sl; bits_used += sl;
-            if (bitcount < 16) {
-                uint32_t wnext = (uint32_t)((p < in_len ? in[p] : 0) | ((p + 1 < in_len ? in[p + 1] : 0) << 8));
-                bitbuf |= wnext << (16 - bitcount);
-                p += 2; bitcount += 16;
-            }
-            if (sym < 256) {
-                disp[o] = 0; tokp[o] = o;
+                if (disp) { disp[o] = 0; tokp[o] = o; }
                 out[o++] = (uint8_t)sym;
                 continue;
             }
@@ -979,14 +899,24 @@ int xh_decompress_dbg(const uint8_t *in, int in_len, uint8_t *out,
             if ((int)off > o || o + len > out_len) return ERR_DATA;
             int t0 = o;
             for (int k = 0; k < len; k++, o++) {
-                disp[o] = (int32_t)off; tokp[o] = t0;
+                if (disp) { disp[o] = (int32_t)off; tokp[o] = t0; }
                 out[o] = out[o - (int)off];
             }
         }
+        /* writer-layout span: 2*(2+f)+raw, f = max(0, ceil(bits/16)-1) */
         int flushes = bits_used > 16 ? (bits_used + 15) / 16 - 1 : 0;
         i = start + 2 * (2 + flushes) + raw_used;
     }
     return o;
+}
+
+int xh_decompress(const uint8_t *in, int in_len, uint8_t *out, int out_len) {
+    return xh_decompress_impl(in, in_len, out, out_len, NULL, NULL);
+}
+
+int xh_decompress_dbg(const uint8_t *in, int in_len, uint8_t *out,
+                      int out_len, int32_t *disp, int32_t *tokp) {
+    return xh_decompress_impl(in, in_len, out, out_len, disp, tokp);
 }
 
 /* ============ Streaming (reference ms_deflate/ms_inflate parity) ======
