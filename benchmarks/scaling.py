@@ -38,6 +38,12 @@ XH_UNIT = int(os.environ.get("TPUCOMP_SCALING_UNIT", "65536"))
 
 
 def _salted(f, args, reps=3):
+    """Returns (wall seconds per rep, process-CPU cores used during the
+    timed region).  The cores number is the measured ground truth for
+    the shared-core ceiling model (annotate_ceiling): XLA:CPU's
+    intra-op threads all run inside this process, so
+    process_time/wall ~= cores actually consumed; on a real accelerator
+    the host sits idle and the number is ~0 (clamped to 1 downstream)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,11 +51,14 @@ def _salted(f, args, reps=3):
     r = f(*args, salt)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
+    c0 = time.process_time()
     for _ in range(reps):
         r = f(*args, salt)
         salt = jnp.min(jax.tree_util.tree_leaves(r)[0]).astype(jnp.int32) * 0
     jax.block_until_ready((r, salt))
-    return (time.perf_counter() - t0) / reps
+    wall = time.perf_counter() - t0
+    cores = (time.process_time() - c0) / max(wall, 1e-9)
+    return wall / reps, cores
 
 
 def _ref_compress(fmt, data):
@@ -238,7 +247,14 @@ def main():
     # only lose — the r3 sweep's 5% encode "efficiency" measured
     # exactly that.  TPUCOMP_SCALING_1T=1 pins intra-op parallelism to
     # one thread per device so nd <= physical cores measures GSPMD
-    # mechanics fairly.
+    # mechanics fairly.  (Set BEFORE the first backend init: XLA reads
+    # XLA_FLAGS when the CPU client is created, which is lazy — the
+    # sitecustomize's early jax import does not consume them.)
+    if os.environ.get("TPUCOMP_SCALING_1T") == "1":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_cpu_multi_thread_eigen=false"
+            + " intra_op_parallelism_threads=1").strip()
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -272,7 +288,7 @@ def main():
             mesh = data_mesh(devs[:nd])
             sharding = NamedSharding(mesh, P("data"))
             f, args, bytes_per_dev = make(nd, sharding)
-            dt = _salted(f, args)
+            dt, cores = _salted(f, args)
             gbps = nd * bytes_per_dev / dt / 1e9
             if base is None:
                 base = gbps
@@ -287,10 +303,12 @@ def main():
                 "efficiency": round(gbps / (base * nd), 4),
                 "eff_corebound": round(
                     gbps / (base * min(nd, ncores)), 4),
+                "cores_used": round(cores, 2),
             })
             print(f"# {name} nd={nd} {gbps:.4f} GB/s "
                   f"eff={rows[-1]['efficiency']:.3f} "
-                  f"corebound={rows[-1]['eff_corebound']:.3f}",
+                  f"corebound={rows[-1]['eff_corebound']:.3f} "
+                  f"cores={cores:.2f}",
                   file=sys.stderr, flush=True)
         annotate_ceiling(rows, ncores)
         report["pipelines"][name] = rows
@@ -304,22 +322,24 @@ def annotate_ceiling(rows, ncores):
     """Ceiling-relative efficiency for shared-core virtual meshes.
 
     XLA:CPU multi-threads a single 'device', so the 1-device baseline
-    may already saturate the host: from eff(2) estimate how many cores
-    the baseline used (C1 ~= 1/eff(2), clamped to [1, ncores]); the
-    host then physically caps the mesh at ceiling(nd) = base *
-    min(nd, ncores/C1), and eff_vs_ceiling = GBps/ceiling isolates
-    GSPMD/dispatch overhead from hardware oversubscription.  On real
-    TPU chips ceiling(nd) = base*nd and this column equals
-    'efficiency'."""
+    may already saturate the host.  C1 = the MEASURED process-CPU cores
+    the 1-device run consumed (_salted's process_time/wall — r4's
+    eff(2)-derived estimate reported eff_vs_ceiling 3.05 for lznt1_dec,
+    i.e. the estimator itself was wrong).  The host then physically
+    caps the mesh at ceiling(nd) = base * min(nd, ncores/C1), and
+    eff_vs_ceiling = GBps/ceiling isolates GSPMD/dispatch overhead from
+    hardware oversubscription.  On a real accelerator the host process
+    is ~idle (cores ~0 -> C1 clamps to 1) and ceiling(nd) = base*nd —
+    the column then equals 'efficiency'."""
     if not rows:
         return
     base = rows[0]["GBps"] or 1e-12
-    e2 = next((r["efficiency"] for r in rows if r["devices"] == 2), 1.0)
-    c1 = min(float(ncores), max(1.0, 1.0 / max(e2, 1e-6)))
+    c1 = rows[0].get("cores_used") or 1.0
+    c1 = min(float(ncores), max(1.0, c1))
     for r in rows:
         ceil = base * min(r["devices"], ncores / c1)
         r["eff_vs_ceiling"] = round(r["GBps"] / ceil, 4) if ceil else 0.0
-    rows[0]["baseline_cores_est"] = round(c1, 2)
+    rows[0]["baseline_cores_meas"] = round(c1, 2)
 
 
 if __name__ == "__main__":

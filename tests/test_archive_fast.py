@@ -104,9 +104,11 @@ class TestDepthModelInvariant:
         def snap(a, u):
             captured.append((np.asarray(a), int(u)))
 
-        def capture(out, u, min_hop, fast=False, interpret=False):
+        def capture(out, u, min_hop, fast=False, interpret=False,
+                    max_hop=None):
             io_callback(snap, None, out, np.int32(u), ordered=True)
-            return real(out, u, min_hop, fast=fast, interpret=interpret)
+            return real(out, u, min_hop, fast=fast, interpret=interpret,
+                        max_hop=max_hop)
 
         kc._far_rounds = capture
         rp._far_rounds = capture

@@ -281,15 +281,36 @@ def _records_to_output(rec_pos, rec_val, p_final, errk, out_len, N, U,
     disp_j = jnp.where(
         is_copy_j & (rel >= dispc), rel - lax.rem(rel, dispc), disp_j)
     litv = jnp.where(is_copy_j, 0, vpack & 0xFF)
+    # max_hop = the format's 8 KiB window ([MS-XCA] §2.3): the far
+    # rounds can then use overlapped segment tables that contain every
+    # parse-emitted source (kernels/common._far_level_overlapped).
+    # OFF by default: A/B on 16 MB of cap-32 resolved streams (r5)
+    # measured the overlapped schedule at 0.034/0.042 GB/s vs
+    # 0.084/0.093 for the segmented one — set TPUCOMP_XP_OVERLAP=1 to
+    # re-test after kernel work (read at trace time).
+    import os as _os
+
+    WIN = (WINDOW if _os.environ.get("TPUCOMP_XP_OVERLAP", "0") == "1"
+           else None)
+    # full-row probe rounds are OFF for xpress regardless of
+    # fast_resolve: the r5 archive profile (overlap model, chain cap
+    # 32 — tpucomp_native.c RW_XP_CHAIN_CAP) bounds chains the ADOPTIVE
+    # doubling rounds resolve in ceil(log2(32))+1 cond-driven rounds;
+    # depth-2 value-chase probes cannot clear them, and A/B on 16 MB of
+    # cap-32 streams measured the two probe rounds as pure waste
+    # (archive-with-probes 0.084 GB/s < plain-without 0.093).  Probes
+    # are semantics-preserving, so r4-era depth-bounded streams still
+    # decode bit-exactly on this path.
+    del fast_resolve
     if mode is not None and U % 128 == 0:
         from ..kernels import resolve_pallas
 
         out = resolve_pallas.resolve_copies(
             is_copy_j, disp_j, litv, interpret=(mode == "interpret"),
-            fast=fast_resolve)
+            fast=False, max_hop=WIN)
     elif U >= 8192 and U % 16 == 0:
         out = resolve_copies_wide(is_copy_j, disp_j, litv,
-                                  fast=fast_resolve)
+                                  fast=False, max_hop=WIN)
     else:
         out = resolve_copies(is_copy_j, disp_j, litv)
     out = jnp.where(j < out_len[:, None], out, 0)

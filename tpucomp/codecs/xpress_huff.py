@@ -884,6 +884,160 @@ def compress(data: bytes) -> bytes:
 _SPAN_DECODERS = {}
 
 
+def _kraft_candidates(arr: np.ndarray, max_cands: int = 512):
+    """Candidate block-start offsets: positions whose next 256 bytes
+    form a COMPLETE canonical Huffman table (Kraft sum over the 512
+    4-bit lengths == 2^15).  Every real block start from a conforming
+    encoder qualifies (complete codes; the rare degenerate
+    single-symbol table is incomplete and is handled by the sequential
+    fallback in the chain walk); random body bytes almost never do, so
+    the candidate set is ~the true block starts plus noise.  One
+    windowed cumsum over the stream — no decoding.
+
+    Returns None when the stream is pathological (more than
+    ``max_cands`` candidates): the caller then takes the sequential
+    path."""
+    n = len(arr)
+    if n < 256:
+        return np.empty(0, np.int64)
+    lo = (arr & 0xF).astype(np.int64)
+    hi = (arr >> 4).astype(np.int64)
+    w = np.where(lo > 0, 1 << (15 - lo), 0) + np.where(
+        hi > 0, 1 << (15 - hi), 0)
+    c = np.concatenate([[0], np.cumsum(w)])
+    sums = c[256:] - c[:-256]
+    offs = np.nonzero(sums == (1 << 15))[0]
+    if len(offs) > max_cands:
+        return None
+    return offs
+
+
+def _decompress_speculative(data: bytes, out_len: int):
+    """Multi-block one-shot decode in O(1) device dispatches
+    (VERDICT r4 #7): instead of one dispatch per 64 KiB block (block
+    boundaries are only discoverable by decoding — [MS-XCA] §2.1),
+
+    1. scan the stream for Kraft-complete table candidates (host,
+       no decode);
+    2. ONE batched dispatch decodes every candidate as a speculative
+       full block (fake all-zeros history so cross-block references
+       parse; the byte SPAN of a block depends only on its symbol
+       stream, never on the copied values, so every surviving
+       candidate's span is exact);
+    3. walk the span chain host-side from offset 0 (a missing or
+       errored link falls back to one sequential block decode);
+    4. fixpoint passes: re-decode all blocks batched with the real
+       history windows from the previous pass until outputs are
+       stable.  Streams without cross-block references converge in one
+       pass (2 dispatches total); depth-k cross-block reference chains
+       take k+1 passes.
+
+    Returns the output bytes, or None to fall back to the sequential
+    walk (pathological candidate count)."""
+    arr = np.frombuffer(data, np.uint8)
+    cands = _kraft_candidates(arr)
+    if cands is None:
+        return None
+    nfull = out_len // BLOCK if out_len % BLOCK else out_len // BLOCK
+    cands = cands[cands + 256 <= len(arr)]
+    if len(cands) == 0:
+        return None
+    MP = max_payload(BLOCK)
+
+    def batch_decode(offs, olens, hists, hlens):
+        """One dispatch: decode blocks at ``offs`` with given history.
+        Returns (outs [n, BLOCK] uint8, errs [n] bool, spans [n])."""
+        P = min(MP, max(
+            1024,
+            -(-max(min(MP, len(arr) - o) for o in offs) // 16384) * 16384)
+            + 16)
+        slices = [data[o: o + P] for o in offs]
+        ss = max(_substeps_for(_min_code_len([s])) for s in slices)
+        key = (ss, True)
+        if key not in _SPAN_DECODERS:
+            _SPAN_DECODERS[key] = make_decoder(
+                BLOCK, ss, want_span=True, with_history=True)
+        N = pad_batch(len(offs))
+        payload = np.zeros((N, P), np.int32)
+        plen = np.zeros(N, np.int32)
+        olen = np.zeros(N, np.int32)
+        hist = np.zeros((N, BLOCK), np.int32)
+        hlen = np.zeros(N, np.int32)
+        for i, o in enumerate(offs):
+            a = np.frombuffer(slices[i], np.uint8)
+            payload[i, : len(a)] = a
+            plen[i] = len(a)
+            olen[i] = olens[i]
+            if hists[i] is not None:
+                t = np.frombuffer(hists[i], np.uint8)
+                hist[i, BLOCK - len(t):] = t
+            hlen[i] = hlens[i]
+        out, err, span = _SPAN_DECODERS[key](
+            jnp.asarray(payload), jnp.asarray(plen), jnp.asarray(olen),
+            jnp.asarray(hist), jnp.asarray(hlen))
+        return (np.asarray(out).astype(np.uint8), np.asarray(err),
+                np.asarray(span))
+
+    # ---- dispatch 1: speculative decode of every candidate ----
+    offs = [int(o) for o in cands]
+    outs, errs, spans = batch_decode(
+        offs, [BLOCK] * len(offs), [None] * len(offs),
+        [BLOCK] * len(offs))
+    spec = {}
+    for i, o in enumerate(offs):
+        if not errs[i]:
+            spec[o] = (outs[i, :BLOCK].tobytes(), int(spans[i]))
+
+    # ---- chain walk (host): true block starts + spans ----
+    chain = []  # (offset, block_out)
+    off, produced = 0, 0
+    seq_decodes = 0
+    while produced < out_len:
+        if off + 256 > len(data):
+            raise DataError(
+                "XpressHuff: stream ended before out_len bytes")
+        block_out = min(BLOCK, out_len - produced)
+        if block_out == BLOCK and off in spec:
+            chain.append((off, BLOCK))
+            off += 256 + spec[off][1]
+        else:
+            # not a candidate (degenerate table / partial last block):
+            # one sequential decode discovers this link
+            o2, e2, s2 = batch_decode(
+                [off], [block_out], [None], [BLOCK])
+            if e2[0]:
+                raise DataError(
+                    "XpressHuff: malformed stream (or a match "
+                    "overrunning a 64 KiB block boundary; use "
+                    "backend='cpu' or 'oracle')")
+            spec[off] = (o2[0, :BLOCK].tobytes(), int(s2[0]))
+            seq_decodes += 1
+            chain.append((off, block_out))
+            off += 256 + int(s2[0])
+        produced += block_out
+
+    # ---- fixpoint: real history windows until stable ----
+    cur = [spec[o][0][:bo] for o, bo in chain]
+    for _pass in range(len(chain)):
+        hists = [None]
+        for k in range(1, len(chain)):
+            hists.append(cur[k - 1][-BLOCK:])
+        offs = [o for o, _ in chain]
+        olens = [bo for _, bo in chain]
+        hlens = [0] + [len(h) for h in hists[1:]]
+        o3, e3, _ = batch_decode(offs, olens, hists, hlens)
+        if e3[: len(chain)].any():
+            raise DataError(
+                "XpressHuff: malformed stream (or a match overrunning "
+                "a 64 KiB block boundary; use backend='cpu'/'oracle')")
+        nxt = [o3[k, : olens[k]].tobytes() for k in range(len(chain))]
+        stable = nxt == cur
+        cur = nxt
+        if stable:
+            break
+    return b"".join(cur)
+
+
 def decompress(data: bytes, out_len=None) -> bytes:
     """One-shot XH decompress on device: sequential block walk with
     device decode + exact byte-span discovery per block (boundaries in
@@ -901,6 +1055,14 @@ def decompress(data: bytes, out_len=None) -> bytes:
         raise ArgError("XPRESS_HUFF decompression requires out_len")
     if out_len == 0:
         return b""
+    if out_len > BLOCK:
+        # multi-block: speculative span discovery batches the whole
+        # stream into O(cross-block-chain-depth) dispatches instead of
+        # one per block (see _decompress_speculative); None falls back
+        # to the sequential walk below
+        got = _decompress_speculative(data, out_len)
+        if got is not None:
+            return got
     parts = []
     off = 0
     produced = 0

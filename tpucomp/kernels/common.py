@@ -1075,6 +1075,8 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
     seed=5 unioned with seed=3 recovers mid-length matches the 3-byte
     chains lose to depth, at the same sort shape per pass).
     """
+    if seed not in (3, 5):
+        raise ValueError(f"hash_best_match: seed must be 3 or 5, got {seed}")
     N, nx = x.shape
     if num_cands <= 0:
         z = jnp.zeros((N, n), jnp.int32)
@@ -1095,8 +1097,10 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (N, n))
     key = (h << pos_bits) | pos
     shifted = tuple(jnp.roll(w, -4 * t, axis=1) for t in range(nwords))
-    srt = sort_rows((key, pos, *shifted), num_keys=1)
-    skey, spos, sw = srt[0], srt[1], srt[2:]
+    # pos rides the key's low bits — no separate plane in the sort
+    srt = sort_rows((key, *shifted), num_keys=1)
+    skey, sw = srt[0], srt[1:]
+    spos = skey & ((1 << pos_bits) - 1)
     sh = skey >> pos_bits
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     best_len = jnp.zeros((N, n), jnp.int32)
@@ -1121,8 +1125,26 @@ def hash_best_match(x, n, hash_bits=13, num_cands=2, cap=16,
         better = ok & (ml > best_len)
         best_len = jnp.where(better, ml, best_len)
         best_disp = jnp.where(better, spos - cand, best_disp)
-    out = sort_rows((spos, best_len, best_disp), num_keys=1)
-    return out[1], out[2]
+    # back to position order, (len, disp) packed into ONE payload plane
+    # (len <= cap, disp-1 < n): a 2-plane un-sort instead of 3.  spos is
+    # a permutation (unique keys), so the Pallas bitonic sort applies —
+    # measured 4.3 vs 7.8 ms for the 3-plane lax.sort at [2048, 4096].
+    # (An MXU one-hot scatter was tried first: 3 bf16 planes * n^2 MACs
+    # measured ~10 ms slower than either sort — the XLA scatter
+    # materializes its per-chunk plane-dot intermediates in HBM.)
+    from ..util import pallas_mode
+
+    len_bits = max(1, int(cap).bit_length())
+    packed = ((best_disp - 1) << len_bits) | best_len
+    smode = pallas_mode("TPUCOMP_SORT_PALLAS")
+    if smode is not None and (n & (n - 1)) == 0 and n <= 65536:
+        from .sort_pallas import bitonic_sort_rows
+
+        _, out = bitonic_sort_rows((spos, packed),
+                                   interpret=(smode == "interpret"))
+    else:
+        _, out = sort_rows((spos, packed), num_keys=1)
+    return out & ((1 << len_bits) - 1), (out >> len_bits) + 1
 
 
 def extend_saturated(length, disp, cap, n=None):
@@ -1211,8 +1233,20 @@ def run_matchlens(x, disps):
     x[q] == x[q-d] starting at q = p (0 where p < d).  One reverse scan
     with len(disps) operands.  Catches RLE and short periods exactly —
     including arbitrarily long runs the capped hash scorer would truncate.
+
+    On TPU the scans run as ONE fused Pallas kernel with rows
+    VMEM-resident across all log-depth passes (kernels/runs_pallas);
+    the XLA associative_scan form is the fallback/interpret path.
     """
+    from ..util import pallas_mode
+
     N, n = x.shape
+    gmode = pallas_mode("TPUCOMP_RUNS_PALLAS")
+    if gmode is not None and n % 128 == 0:
+        from .runs_pallas import run_matchlens_fused
+
+        return run_matchlens_fused(x, disps,
+                                   interpret=(gmode == "interpret"))
     outs = []
     # leading-ones count via log-depth associative scan (reverse): the
     # monoid carries (count-of-left-edge-ones, segment-all-ones); a
@@ -1239,6 +1273,20 @@ def run_matchlens(x, disps):
 # --------------------------------------------------------------------------
 
 FAR_TAG = 1 << 24  # out-value tag: "pointer to earlier output position"
+# Archive fast-path probe budget: number of value-chase probe rounds the
+# decoder runs before the dense mop-up (_far_rounds fast=True).  The
+# native archive encoders' depth bound defaults to this value
+# (_native.xh_compress_resolved / xpress_compress_resolved), so archives
+# written at default depth resolve entirely in the cheap probes; deeper
+# depth bounds are still correct but their surplus chains fall through
+# to the dense full-row level.
+ARCHIVE_PROBE_BUDGET = 2
+# Segment-level value-chase probe budget (the archive fast path inside
+# _far_level_segmented): matches the native archive encoders'
+# in-segment chain-length cap (tpucomp_native.c RW_CHAIN_CAP = 8) —
+# a value-chase round resolves one chain link, so cap-8 chains clear
+# in <= 8 cond-driven probes before any doubling round runs.
+SEG_PROBE_BUDGET = 8
 # In-scan exact window.  Measured on the bench corpus: ~79% of copy bytes
 # have d <= 512 and the max far-chain depth is 5 (vs 9 at 256), so the
 # far while_loop (which pointer-doubles: log2(depth) rounds of 2 sorts)
@@ -1258,7 +1306,7 @@ def _resolve_window(window):
 
 
 def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16,
-                        fast=False):
+                        fast=False, max_hop=None):
     """resolve_copies for LONG rows (e.g. 64 KiB blocks): processes
     ``unroll`` output positions per scan step so the program has U/K steps
     and the window read is ONE batched [N, K, W] one-hot per step instead
@@ -1317,7 +1365,28 @@ def resolve_copies_wide(is_copy, disp, litv, window=None, unroll=16,
         ),
     )
     out = out_T.transpose(1, 0, 2).reshape(N, U)
-    return _far_rounds(out, U, W - K, fast=fast)
+    return _far_rounds(out, U, W - K, fast=fast, max_hop=max_hop)
+
+
+def _gather18(table, idx, interpret=False):
+    """Row gather of 18-bit values — the pointer-doubling fetch of
+    every far level.  Routes to the pair-packed fused Pallas kernel
+    (gather_pallas.gather18_pairs: 3 six-bit bf16 planes, two queries
+    per one-hot column — HALF the MACs of byte-plane gathering and no
+    XLA per-chunk HBM round-trips); falls back to mxu_gather_rows."""
+    from ..util import pallas_mode
+
+    gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
+    N, Q = idx.shape
+    if gmode is not None and Q % 2 == 0:
+        from .gather_pallas import gather18_pairs
+
+        i2 = idx.reshape(N, Q // 2, 2)
+        f1, f2 = gather18_pairs(
+            table, i2[:, :, 0], i2[:, :, 1],
+            interpret=(gmode == "interpret" or interpret))
+        return jnp.stack([f1, f2], axis=2).reshape(N, Q)
+    return mxu_gather_rows(table, idx, nbits=18)
 
 
 def _far_probe_round(out, U, interpret=False):
@@ -1355,11 +1424,18 @@ def _far_probe_round(out, U, interpret=False):
     return jnp.where(tagged & (fetched < 256), fetched, out)
 
 
-def _far_rounds(out, U, min_hop, fast=False, interpret=False):
+def _far_rounds(out, U, min_hop, fast=False, interpret=False,
+                max_hop=None):
     """Resolve FAR_TAG pointer chains by iterated gathers.  Each round
     is pointer DOUBLING (a fetched tag is the target's own pointer, so
     every chain halves per round: log2(depth) rounds); round caps
     guarantee termination on corrupt (cyclic) streams.
+
+    ``max_hop``: format-level bound on parse-emitted hop distances
+    (plain Xpress passes its 8192-byte window).  When set, the segment
+    level uses OVERLAPPED gather tables (_far_level_overlapped) that
+    contain every in-window source — only periodic-fold tags (folded
+    hops can exceed the window) ever reach the full-row machinery.
 
     The gathers run on the MXU (mxu_gather_rows), whose cost is
     MAC-bound at planes * N * Q * K — so rounds run LEVEL-SEGMENTED:
@@ -1401,9 +1477,28 @@ def _far_rounds(out, U, min_hop, fast=False, interpret=False):
     # FASTEST (0.1408 GB/s) vs static-3 (0.1232) and static-2 (0.1047,
     # leftovers hit ~35 ms dense mop-up rounds) — the while cond's
     # any() costs less than the round it skips, here as in the probes.
-    for S, cap in [(s, c) for s, c in levels
-                   if min_hop < s < U and U % s == 0]:
-        out = _far_level_segmented(out, U, S, cap=cap)
+    if (max_hop is not None and max_hop % 128 == 0
+            and min_hop < 4096 < U and U % 4096 == 0):
+        # probe budget 2, not SEG_PROBE_BUDGET: the overlap-mode
+        # archive encoder allows chains up to RW_XP_CHAIN_CAP=32 links
+        # (size sweep: cap 32 = +1.8%), which the ADOPTIVE doubling
+        # rounds resolve in <= 6 rounds regardless — long value-chase
+        # probe ladders would just precede the same doubling rounds.
+        # Two probes still clear shallow corpora outright (the
+        # progress-gated cond then skips doubling entirely).
+        out = _far_level_overlapped(out, U, 4096, max_hop, cap=6,
+                                    fast=fast, interpret=interpret,
+                                    probe_budget=ARCHIVE_PROBE_BUDGET)
+    else:
+        # NOTE: fast-path value-chase probes are NOT run at this level
+        # (measured r5 on 28 MB archive streams: probes resolve one
+        # chain link per round while the cond-driven doubling rounds
+        # must run for the stacked/deep chains regardless, so the
+        # probes only added ~40 ms without removing a doubling round)
+        for S, cap in [(s, c) for s, c in levels
+                       if min_hop < s < U and U % s == 0]:
+            out = _far_level_segmented(out, U, S, cap=cap,
+                                       interpret=interpret)
     if fast:
         # cond-driven value-chase probes, capped at the archive
         # encoder's depth budget (_native.*_compress_resolved default
@@ -1412,25 +1507,149 @@ def _far_rounds(out, U, min_hop, fast=False, interpret=False):
         # corpus (r4s2): this measured 0.1408 GB/s vs 0.1232 for two
         # straight-line probes — the any() early-exit pays here.
         def pcond(state):
-            st, r = state
-            return jnp.any((st & FAR_TAG) != 0) & (r < 2)
+            st, r, changed = state
+            return (changed & jnp.any((st & FAR_TAG) != 0)
+                    & (r < ARCHIVE_PROBE_BUDGET))
 
         def pround(state):
-            st, r = state
-            return _far_probe_round(st, U, interpret=interpret), r + 1
+            st, r, _ = state
+            nxt = _far_probe_round(st, U, interpret=interpret)
+            return nxt, r + 1, jnp.any(nxt != st)
 
-        out, _ = lax.while_loop(pcond, pround, (out, jnp.int32(0)))
-    out = _far_level_segmented(out, U, U)
+        out, _, _ = lax.while_loop(
+            pcond, pround, (out, jnp.int32(0), jnp.bool_(True)))
+    out = _far_level_segmented(out, U, U, interpret=interpret)
     return jnp.where((out & FAR_TAG) != 0, 0, out)
 
 
-def _far_level_segmented(out, U, S, cap=None, static_rounds=None):
+def _far_level_overlapped(out, U, S, H, cap=None, fast=False,
+                          probe_budget=None, interpret=False):
+    """Far rounds with an OVERLAPPED gather table per segment: segment k
+    gathers from row[k*S - H : k*S + S], so every hop whose source lies
+    within H bytes of the segment is in-table.  For a format with a
+    hard window (plain Xpress: offsets <= 8192, [MS-XCA] §2.3) and
+    H = window, EVERY parse-emitted hop is in-table — cross-segment
+    tags disappear and the expensive full-row rounds only ever see the
+    periodic-fold tags (whose folded hop distance can exceed the
+    window; see _records_to_output's fold).
+
+    MACs per doubling round: N * nseg * S * (S+H) * 3 — at S=4096,
+    H=8192 that is 5.3x cheaper than a full-row round at U=65536.
+    ``fast`` prepends pair-packed single-plane value-chase probe rounds
+    (cond-driven, ``probe_budget``): the archive encoder's overlap
+    depth model caps chain links, so archives clear here and the
+    doubling cond no-ops.  Same 18-bit absolute state encoding as
+    _far_level_segmented; correctness for ANY stream (out-of-table or
+    too-deep tags simply stay tagged and escalate)."""
+    N = out.shape[0]
+    assert U <= (1 << 17) and U % S == 0 and H % 128 == 0, (U, S, H)
+    nseg = U // S
+    NR = N * nseg
+    K = S + H
+    tagged = (out & FAR_TAG) != 0
+    st_row = jnp.where(tagged, (1 << 17) | (out & (FAR_TAG - 1)),
+                       out & 0x1FF)  # [N, U] absolute 18-bit state
+    base = ((jnp.arange(NR, dtype=jnp.int32) % nseg) * S)[:, None]
+    max_rounds = cap or (max(1, (S - 1).bit_length()) + 3)
+    if probe_budget is None:
+        probe_budget = SEG_PROBE_BUDGET
+
+    def tables(st_r):
+        padded = jnp.pad(st_r, ((0, 0), (H, 0)))
+        tbl = jnp.stack([padded[:, k * S: k * S + K]
+                         for k in range(nseg)], axis=1)
+        return tbl.reshape(NR, K)
+
+    def seg_view(st_r):
+        return st_r.reshape(NR, S)
+
+    def unview(st_s):
+        return st_s.reshape(N, U)
+
+    def chase_mask(st_s):
+        live = (st_s >> 17) == 1
+        srcp = st_s & 0x1FFFF
+        return live & (srcp >= jnp.maximum(base - H, 0)) \
+            & (srcp < base + S), srcp
+
+    if fast:
+        from ..util import pallas_mode
+
+        gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
+
+        def probe_one(st_r):
+            st_s = seg_view(st_r)
+            chase, srcp = chase_mask(st_s)
+            live_r = (st_r >> 17) == 1
+            probe_r = jnp.where(live_r, 256, st_r & 0x1FF)
+            ptbl = tables(probe_r)
+            idx = jnp.where(chase, srcp - (base - H), 0)
+            if gmode is not None and S % 2 == 0:
+                from .gather_pallas import probe_gather_pairs
+
+                i2 = idx.reshape(NR, S // 2, 2)
+                f1, f2 = probe_gather_pairs(
+                    ptbl, i2[:, :, 0], i2[:, :, 1],
+                    interpret=(gmode == "interpret" or interpret))
+                fetched = jnp.stack([f1, f2], axis=2).reshape(NR, S)
+            else:
+                fetched = mxu_gather_rows(ptbl, idx, nbits=9)
+            return unview(jnp.where(chase & (fetched < 256), fetched,
+                                    st_s))
+
+        # progress-gated like _far_level_segmented's probes: chains
+        # stacked on an out-of-table (folded-periodic) hop cannot
+        # value-chase-resolve here
+        def pcond(state):
+            st_r, r, changed = state
+            ch, _ = chase_mask(seg_view(st_r))
+            return changed & jnp.any(ch) & (r < probe_budget)
+
+        def pround(state):
+            st_r, r, _ = state
+            nxt = probe_one(st_r)
+            return nxt, r + 1, jnp.any(nxt != st_r)
+
+        st_row, _, _ = lax.while_loop(
+            pcond, pround, (st_row, jnp.int32(0), jnp.bool_(True)))
+
+    def cond(state):
+        st_r, r = state
+        ch, _ = chase_mask(seg_view(st_r))
+        return jnp.any(ch) & (r < max_rounds)
+
+    def round_(state):
+        st_r, r = state
+        st_s = seg_view(st_r)
+        chase, srcp = chase_mask(st_s)
+        tbl = tables(st_r)
+        f = _gather18(tbl, jnp.where(chase, srcp - (base - H), 0),
+                      interpret=interpret)
+        return unview(jnp.where(chase, f, st_s)), r + 1
+
+    st_row, _ = lax.while_loop(cond, round_, (st_row, jnp.int32(0)))
+    live = (st_row >> 17) == 1
+    return jnp.where(live, FAR_TAG | (st_row & 0x1FFFF), st_row & 0x1FF)
+
+
+def _far_level_segmented(out, U, S, cap=None, static_rounds=None,
+                         fast=False, interpret=False):
     """Pointer-doubling rounds with rows cut into S-wide segments (the
     gather table is the segment: MACs per round scale with S, not U).
     Chains whose current source crosses a segment boundary stay tagged
     for the next level.  ``cap`` bounds the rounds on non-final levels:
     deeper in-segment chains simply escalate (correctness unaffected),
     which beats paying diminishing-return rounds here.
+
+    ``fast``: run pair-packed single-plane VALUE-CHASE probe rounds
+    before the doubling rounds (the archive fast path, as in
+    _far_probe_round but with the segment as the gather table — ~1/6
+    the MACs of a 3-plane doubling round and 16x cheaper than a
+    full-row probe).  Archive streams' in-segment chains are capped at
+    RW_CHAIN_CAP=8 links by the encoder's depth model, so cond-driven
+    probes clear them and the doubling loop's entry cond no-ops;
+    semantics unchanged for any stream (probes only resolve tags whose
+    target is already final).
 
     State encoding: 18 bits — resolved byte (<= 9 bits) or
     (1<<17) | absolute_source — so sources must fit 17 bits: U (and
@@ -1454,6 +1673,51 @@ def _far_level_segmented(out, U, S, cap=None, static_rounds=None):
     # extra dense rounds — worse than the plane it saved.)
     st = jnp.where(tagged, (1 << 17) | src, out.reshape(NR, S) & 0x1FF)
 
+    if fast and S % 2 == 0:
+        from ..util import pallas_mode
+
+        gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
+
+        def probe_one(stv):
+            live = (stv >> 17) == 1
+            srcp = stv & 0x1FFFF
+            chase = live & (srcp >= base) & (srcp < base + S)
+            # probe plane: final byte, or 256 = "target still live"
+            # (covers both locally-chasing and cross-segment entries)
+            probe = jnp.where(live, 256, stv & 0x1FF)
+            idx = jnp.where(chase, srcp - base, 0)
+            if gmode is not None:
+                from .gather_pallas import probe_gather_pairs
+
+                i2 = idx.reshape(NR, S // 2, 2)
+                f1, f2 = probe_gather_pairs(
+                    probe, i2[:, :, 0], i2[:, :, 1],
+                    interpret=(gmode == "interpret" or interpret))
+                fetched = jnp.stack([f1, f2], axis=2).reshape(NR, S)
+            else:
+                fetched = mxu_gather_rows(probe, idx, nbits=9)
+            return jnp.where(chase & (fetched < 256), fetched, stv)
+
+        # progress-gated: a chain STACKED on a cross-segment hop never
+        # value-chase-resolves at this level (its terminus is not final
+        # here) — without the ``changed`` gate such tags would spin the
+        # whole probe budget before the doubling rounds (which ADOPT
+        # past the segment) get to run
+        def pcond(state):
+            stv, r, changed = state
+            live = (stv >> 17) == 1
+            srcp = stv & 0x1FFFF
+            local = live & (srcp >= base) & (srcp < base + S)
+            return changed & jnp.any(local) & (r < SEG_PROBE_BUDGET)
+
+        def pround(state):
+            stv, r, _ = state
+            nxt = probe_one(stv)
+            return nxt, r + 1, jnp.any(nxt != stv)
+
+        st, _, _ = lax.while_loop(
+            pcond, pround, (st, jnp.int32(0), jnp.bool_(True)))
+
     def cond(state):
         st, r = state
         live = (st >> 17) == 1
@@ -1468,8 +1732,8 @@ def _far_level_segmented(out, U, S, cap=None, static_rounds=None):
         chase = live & (srcp >= base) & (srcp < base + S)
         # bf16 planes: s8 dots measured 6x SLOWER on the dev chip (XLA
         # does not lower them to the MXU there) despite the nominal 2x
-        f = mxu_gather_rows(
-            st, jnp.where(chase, srcp - base, 0), nbits=18)
+        f = _gather18(st, jnp.where(chase, srcp - base, 0),
+                      interpret=interpret)
         return jnp.where(chase, f, st), r + 1
 
     if static_rounds is not None:

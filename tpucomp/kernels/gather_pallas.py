@@ -164,6 +164,97 @@ def probe_gather_pairs(probe, idx1, idx2, interpret=False):
     return outs[0], outs[1]
 
 
+def _g18_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
+    """Pair-packed 18-bit gather (see gather18_pairs): the 18-bit state
+    rides THREE 6-bit bf16 planes (values 0..63, exactly
+    representable), two queries per one-hot column at scales 1 and
+    1024 (63 + 1024*63 < 2^24 stays f32-exact).  Same-row pairs mask
+    the second scale and read both lanes from the low half."""
+    iota_r = lax.broadcasted_iota(jnp.int32, (R, QCHUNK), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (128, QCHUNK), 0)
+    o1 = []
+    o2 = []
+    for rr in range(RB):
+        q1 = idx1_ref[rr : rr + 1]  # [1, QCHUNK]
+        q2 = idx2_ref[rr : rr + 1]
+        r1, r2 = q1 >> 7, q2 >> 7
+        samerow = r1 == r2
+        ohT = ((iota_r == r1).astype(jnp.bfloat16)
+               + jnp.where(samerow, 0.0, 1024.0).astype(jnp.bfloat16)
+               * (iota_r == r2).astype(jnp.bfloat16))  # [R, QCHUNK]
+        l1 = iota_s == (q1 & 127)
+        l2 = iota_s == (q2 & 127)
+        v1 = jnp.zeros((1, QCHUNK), jnp.int32)
+        v2 = jnp.zeros((1, QCHUNK), jnp.int32)
+        for b in range(3):
+            plane = (lax.shift_right_logical(data_ref[rr], 6 * b)
+                     & 0x3F).astype(jnp.bfloat16)  # [R, 128], 0..63
+            s = lax.dot_general(
+                plane, ohT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [128, QCHUNK]
+            s1 = jnp.sum(jnp.where(l1, s, 0.0), axis=0,
+                         keepdims=True).astype(jnp.int32)
+            s2 = jnp.sum(jnp.where(l2, s, 0.0), axis=0,
+                         keepdims=True).astype(jnp.int32)
+            v1 = v1 | ((s1 & 1023) << (6 * b))
+            v2 = v2 | (jnp.where(samerow, s2 & 1023, s2 >> 10)
+                       << (6 * b))
+        o1.append(v1)
+        o2.append(v2)
+    out1_ref[...] = jnp.concatenate(o1, axis=0)
+    out2_ref[...] = jnp.concatenate(o2, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _g18_call(NP, R, QP, interpret):
+    kernel = functools.partial(_g18_kernel, R)
+    spec_q = pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(NP // RB, QP // QCHUNK),
+        in_specs=[
+            pl.BlockSpec((RB, R, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_q, spec_q,
+        ],
+        out_specs=[spec_q, spec_q],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, QP), jnp.int32),
+            jax.ShapeDtypeStruct((NP, QP), jnp.int32),
+        ],
+        interpret=bool(interpret),
+    )
+
+
+def gather18_pairs(data, idx1, idx2, interpret=False):
+    """out_k[n, q] = data[n, idx_k[n, q]] for k in {1, 2}, for 18-bit
+    table values (0 <= v < 2^18) at HALF the one-hot matmul cost of two
+    separate 3-plane gathers — the pointer-doubling fetch of the far
+    levels (6-bit planes at scales 1/1024 instead of byte planes; the
+    one-hot build is also shared across the 3 plane-dots).
+    Out-of-range idx fetches 0."""
+    N, K = data.shape
+    Q = idx1.shape[1]
+    R = -(-K // 128)
+    QP = -(-Q // QCHUNK) * QCHUNK
+    NP = -(-N // RB) * RB
+    d3 = jnp.pad(data, ((0, NP - N), (0, R * 128 - K))).reshape(
+        NP, R, 128)
+    oor = K if R * 128 > K else -1
+    ins = []
+    for idx in (idx1, idx2):
+        ip = jnp.pad(idx, ((0, NP - N), (0, QP - Q)))
+        ok = (ip >= 0) & (ip < K)
+        ins.append((jnp.where(ok, ip, oor if oor >= 0 else 0), ok))
+    o1, o2 = _g18_call(NP, R, QP, interpret)(d3, ins[0][0], ins[1][0])
+    outs = []
+    for o, (_, ok) in zip((o1, o2), ins):
+        outs.append(o[:N, :Q] if oor >= 0 else
+                    jnp.where(ok, o, 0)[:N, :Q])
+    return outs[0], outs[1]
+
+
 def gather_rows_fused(data, idx, nbits=32, interpret=False):
     """out[n, q] = data[n, idx[n, q]] & ((1<<nbits)-1); OOR idx -> 0."""
     N, K = data.shape

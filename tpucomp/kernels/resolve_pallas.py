@@ -99,7 +99,7 @@ def _resolve_call(W, SL, T, S, interpret):
 
 
 def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False,
-                   fast=False):
+                   fast=False, max_hop=None):
     """Drop-in for kernels/common.resolve_copies (segment-lane near scan
     in Pallas, pointer-doubling far rounds in XLA).  U must be a
     multiple of 128."""
@@ -129,4 +129,5 @@ def resolve_copies(is_copy, disp, litv, window=SEG, interpret=False,
 
     out = _resolve_call(S, SL, T, S, interpret)(base, v)
     out = out.transpose(1, 2, 0).reshape(NL * 128, S)[:NR].reshape(N, U)
-    return _far_rounds(out, U, S, fast=fast, interpret=interpret)
+    return _far_rounds(out, U, S, fast=fast, interpret=interpret,
+                       max_hop=max_hop)

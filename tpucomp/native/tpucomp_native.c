@@ -77,6 +77,16 @@ static inline int rw_ascend(const int32_t *imm, int pos, int off, int len,
 #ifndef RW_CHAIN_CAP
 #define RW_CHAIN_CAP 8
 #endif
+/* Plain-Xpress overlap-mode chain cap.  With the decoder's OVERLAPPED
+ * segment tables every in-window hop is one cheap link, and a depth-k
+ * chain costs the (adoptive, log-depth) overlapped DOUBLING rounds
+ * ceil(log2(k))+1 dispatches — cap 32 => exactly the level's 6-round
+ * budget.  Size sweep (8 MB silesia-like): cap 8 -> +8.2%, 16 ->
+ * +4.2%, 32 -> +1.8%, 64 -> +0.6% over the unresolved stream; 32 is
+ * the <= +2% north-star point. */
+#ifndef RW_XP_CHAIN_CAP
+#define RW_XP_CHAIN_CAP 32
+#endif
 /* Near-walk granule: the decoder's Pallas near scan (resolve_pallas.py,
  * SEG=512) walks each 512-byte segment sequentially and copies window
  * VALUES verbatim — a hop whose source lies in the SAME 512-segment
@@ -90,34 +100,44 @@ static inline int rw_src_fold(int pos, int off, int i) {
     return (i < off) ? pos - off + i : pos + (i % off);
 }
 
+/* ``ov``: overlapped-table mode (plain Xpress).  The format's 8 KiB
+ * window lets the decoder gather each 4 KiB segment from an OVERLAPPED
+ * table [seg_base - ov, seg_base + S) that contains EVERY in-window
+ * source (kernels/common._far_level_overlapped), so an in-table hop is
+ * a cheap chain link (ncl) rather than a dense full-row round (nr) —
+ * only periodic-fold hops whose source falls below seg_base - ov cost
+ * a dense round.  ov == 0 selects the segment model (XH: the 64 KiB
+ * window spans the whole block, overlapping cannot cover it). */
 static inline void rw_state(const uint8_t *R, const uint8_t *CL, int srcf,
-                            int dst, int *nr, int *ncl) {
+                            int dst, int *nr, int *ncl, int ov) {
     if ((srcf >> RW_NEAR_SHIFT) == (dst >> RW_NEAR_SHIFT)) {
         *nr = R[srcf]; *ncl = CL[srcf]; /* near-walk adoption */
-    } else if ((srcf >> RW_SEG_SHIFT) == (dst >> RW_SEG_SHIFT)) {
-        *nr = R[srcf]; *ncl = CL[srcf] + 1; /* in-segment doubling */
+    } else if (ov ? (srcf >= ((dst >> RW_SEG_SHIFT) << RW_SEG_SHIFT) - ov)
+                  : ((srcf >> RW_SEG_SHIFT) == (dst >> RW_SEG_SHIFT))) {
+        *nr = R[srcf]; *ncl = CL[srcf] + 1; /* in-table/in-segment link */
     } else {
-        *nr = R[srcf] + 1; *ncl = 0; /* cross-segment: one dense round */
+        *nr = R[srcf] + 1; *ncl = 0; /* out of table: one dense round */
     }
 }
 
 static inline int rw_depth_prefix(const uint8_t *R, const uint8_t *CL,
-                                  int pos, int off, int len, int D) {
+                                  int pos, int off, int len, int D,
+                                  int ov, int clcap) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
         int nr, ncl;
-        rw_state(R, CL, srcf, pos + i, &nr, &ncl);
-        if (nr > D || ncl > RW_CHAIN_CAP) return i;
+        rw_state(R, CL, srcf, pos + i, &nr, &ncl, ov);
+        if (nr > D || ncl > clcap) return i;
     }
     return len;
 }
 
 static inline void rw_set_depth(uint8_t *R, uint8_t *CL, int pos, int off,
-                                int len) {
+                                int len, int ov) {
     for (int i = 0; i < len; i++) {
         int srcf = rw_src_fold(pos, off, i);
         int nr, ncl;
-        rw_state(R, CL, srcf, pos + i, &nr, &ncl);
+        rw_state(R, CL, srcf, pos + i, &nr, &ncl, ov);
         R[pos + i] = (uint8_t)(nr > 15 ? 15 : nr);
         CL[pos + i] = (uint8_t)(ncl > 255 ? 255 : ncl);
     }
@@ -131,18 +151,18 @@ static inline void rw_set_depth(uint8_t *R, uint8_t *CL, int pos, int off,
  * twice, then enforce the bound exactly. */
 static inline void rw_apply(const int32_t *imm, const uint8_t *R,
                             const uint8_t *CL, int pos, int *off, int *len,
-                            int winmax, int flags) {
+                            int winmax, int flags, int ov, int clcap) {
     int D = (flags >> 8) & 0xF;
     for (int pass = 0; pass < 2; pass++) {
         if (flags & OPT_RESOLVE_OFFSETS)
             *off = rw_ascend(imm, pos, *off, *len, winmax);
         if (!D) return;
-        int ul = rw_depth_prefix(R, CL, pos, *off, *len, D);
+        int ul = rw_depth_prefix(R, CL, pos, *off, *len, D, ov, clcap);
         if (ul == *len) return;
         *len = ul;
         if (*len < 3) return;
     }
-    *len = rw_depth_prefix(R, CL, pos, *off, *len, D);
+    *len = rw_depth_prefix(R, CL, pos, *off, *len, D, ov, clcap);
 }
 
 /* ================= LZNT1 ([MS-XCA] 2.5) ================= */
@@ -384,7 +404,8 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
                     if (len >= 3) {
                         int off_c = pos - cand, len_c = len;
                         rw_apply(imm, Rd, CLd, pos, &off_c, &len_c,
-                                 XP_WINDOW, flags);
+                                 XP_WINDOW, flags, XP_WINDOW,
+                                 RW_XP_CHAIN_CAP);
                         if (len_c > best_len) {
                             best_len = len_c; best_off = off_c;
                             if (best_len >= lim) break;
@@ -400,12 +421,13 @@ int xpress_compress_opt(const uint8_t *in, int in_len, uint8_t *out, int cap,
         }
         if (best_len >= 3 && flags && !bounded)
             rw_apply(imm, Rd, CLd, pos, &best_off, &best_len, XP_WINDOW,
-                     flags);
+                     flags, XP_WINDOW, RW_XP_CHAIN_CAP);
         if (best_len >= 3) {
             if (flags) {
                 for (int i = 0; i < best_len; i++)
                     imm[pos + i] = pos - best_off + i;
-                rw_set_depth(Rd, CLd, pos, best_off, best_len);
+                rw_set_depth(Rd, CLd, pos, best_off, best_len,
+                             XP_WINDOW);
             }
             if (xpw_flag(&w, 1)) return ERR_BUF;
             if (w.o + 2 > cap) return ERR_BUF;
@@ -701,7 +723,8 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
                         if (len >= 3) {
                             int off_c = pos - cand, len_c = len;
                             rw_apply(imm_buf, R_buf, CL_buf, pos, &off_c,
-                                     &len_c, n - 1, flags);
+                                     &len_c, n - 1, flags, 0,
+                                     RW_CHAIN_CAP);
                             if (len_c > best_len) {
                                 best_len = len_c; best_off = off_c;
                                 if (best_len >= lim) break;
@@ -716,12 +739,13 @@ static int xh_compress_block(const uint8_t *blk, int n, uint8_t *out, int cap,
             }
             if (best_len >= 3 && flags && !bounded)
                 rw_apply(imm_buf, R_buf, CL_buf, pos, &best_off, &best_len,
-                         n - 1, flags);
+                         n - 1, flags, 0, RW_CHAIN_CAP);
             if (best_len >= 3) {
                 if (flags) {
                     for (int i = 0; i < best_len; i++)
                         imm_buf[pos + i] = pos - best_off + i;
-                    rw_set_depth(R_buf, CL_buf, pos, best_off, best_len);
+                    rw_set_depth(R_buf, CL_buf, pos, best_off, best_len,
+                                 0);
                 }
                 tok_pos[T] = pos; tok_len[T] = best_len; tok_off[T] = best_off; T++;
                 int L = best_len - 3;
