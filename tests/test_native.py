@@ -53,6 +53,23 @@ class TestXpress:
             c_o = o_xpress.compress(data)
             assert _native.xpress_decompress(c_o, len(data)) == data, len(data)
 
+    def test_resolved_profile_ratio_gate(self, corpus):
+        """The r5 overlap depth model makes the archive profile cheap
+        at per-64KiB-unit granularity: +0.00% on 16 MB silesia-like at
+        chain cap 32 (the bench corpus/number), +4.0% on THIS more
+        repetitive mixed-runs corpus.  Gate at +6% so a model
+        regression toward the r4 segment model (+7% silesia / ~+10%
+        here) cannot land silently."""
+        total_p = total_r = 0
+        for k in range(8):
+            u = corpus(65536)
+            total_p += len(_native.xpress_compress(u))
+            total_r += len(_native.xpress_compress_resolved(u))
+            # resolved streams stay standard [MS-XCA]
+            assert o_xpress.decompress(
+                _native.xpress_compress_resolved(u), len(u)) == u
+        assert total_r <= total_p * 1.06, (total_r, total_p)
+
 
 class TestXH:
     def test_cross(self, corpus, rng):

@@ -1378,6 +1378,15 @@ def _gather18(table, idx, interpret=False):
 
     gmode = pallas_mode("TPUCOMP_GATHER_PALLAS")
     N, Q = idx.shape
+    K = table.shape[1]
+    if gmode is not None and K <= 8192:
+        # small tables underfill the MXU's 128-deep systolic array
+        # (R = K/128 = 32 at the 4 KiB level): the stacked-plane form
+        # contracts 3R deep at 2x the MACs — net ~1.5x at K <= 8192
+        from .gather_pallas import gather18_stacked
+
+        return gather18_stacked(
+            table, idx, interpret=(gmode == "interpret" or interpret))
     if gmode is not None and Q % 2 == 0:
         from .gather_pallas import gather18_pairs
 

@@ -205,6 +205,77 @@ def _g18_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
     out2_ref[...] = jnp.concatenate(o2, axis=0)
 
 
+def _g18s_kernel(R, data_ref, idx_ref, out_ref):
+    """Stacked-plane single-query 18-bit gather (see gather18_pairs for
+    the pair variant): the 3 six-bit planes stack along the CONTRACTION
+    axis with scales 1/64/4096 baked into the one-hot, so one dot of
+    contraction depth 3R returns the full 18-bit value
+    (63*(1 + 64 + 4096)*scale-sum < 2^24 keeps f32 exact... the sum per
+    query is v0 + 64*v1 + 4096*v2 < 2^18).  At small K the pair
+    variant's dots are only R deep (R = K/128 = 32 at the 4 KiB
+    segment level — a quarter of the MXU's 128 systolic depth); this
+    form is 3R deep at 2x the MACs, which wins below ~16 K."""
+    iota_r = lax.broadcasted_iota(jnp.int32, (3 * R, QCHUNK), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (128, QCHUNK), 0)
+    scale = jnp.where(iota_r < R, 1.0,
+                      jnp.where(iota_r < 2 * R, 64.0, 4096.0)
+                      ).astype(jnp.bfloat16)
+    outs = []
+    for rr in range(RB):
+        q = idx_ref[rr : rr + 1]  # [1, QCHUNK]
+        ohT = ((lax.rem(iota_r, R) == (q >> 7)).astype(jnp.bfloat16)
+               * scale)  # [3R, QCHUNK]
+        d = data_ref[rr]
+        planes = jnp.concatenate(
+            [(lax.shift_right_logical(d, 6 * b) & 0x3F).astype(
+                jnp.bfloat16) for b in range(3)], axis=0)  # [3R, 128]
+        s = lax.dot_general(
+            planes, ohT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [128, QCHUNK]
+        v = jnp.sum(jnp.where(iota_s == (q & 127), s, 0.0), axis=0,
+                    keepdims=True).astype(jnp.int32)
+        outs.append(v)
+    out_ref[...] = jnp.concatenate(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _g18s_call(NP, R, QP, interpret):
+    kernel = functools.partial(_g18s_kernel, R)
+    spec_q = pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(NP // RB, QP // QCHUNK),
+        in_specs=[
+            pl.BlockSpec((RB, R, 128), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_q,
+        ],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((NP, QP), jnp.int32),
+        interpret=bool(interpret),
+    )
+
+
+def gather18_stacked(data, idx, interpret=False):
+    """out[n, q] = data[n, idx[n, q]] for 18-bit table values; the
+    small-K fast form (see _g18s_kernel).  OOR idx fetches 0."""
+    N, K = data.shape
+    Q = idx.shape[1]
+    R = -(-K // 128)
+    QP = -(-Q // QCHUNK) * QCHUNK
+    NP = -(-N // RB) * RB
+    d3 = jnp.pad(data, ((0, NP - N), (0, R * 128 - K))).reshape(
+        NP, R, 128)
+    ip = jnp.pad(idx, ((0, NP - N), (0, QP - Q)))
+    oor = K if R * 128 > K else -1
+    ok = (ip >= 0) & (ip < K)
+    ipc = jnp.where(ok, ip, oor if oor >= 0 else 0)
+    out = _g18s_call(NP, R, QP, interpret)(d3, ipc)
+    return (out[:N, :Q] if oor >= 0 else
+            jnp.where(ok, out, 0)[:N, :Q])
+
+
 @functools.lru_cache(maxsize=None)
 def _g18_call(NP, R, QP, interpret):
     kernel = functools.partial(_g18_kernel, R)

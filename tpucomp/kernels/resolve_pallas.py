@@ -37,6 +37,12 @@ def _mk(c):
     return c.astype(jnp.int32)
 
 
+KU = 8  # positions per step (group): the window one-hot reduces run
+# over [RCH, KU, SL, 128] tensors — ~KU x fewer loop iterations at the
+# same reduce work, and the larger tensors keep the VPU fed (the
+# per-position form measured 4.4x over its compute bound)
+
+
 def _build_kernel(W, SL):
     def kernel(base_ref, v_ref, out_ref, win_ref):
         c = pl.program_id(1)
@@ -47,32 +53,48 @@ def _build_kernel(W, SL):
             win_ref[...] = jnp.zeros((W, SL, 128), jnp.int32)
 
         def step(k, _):
-            j = c * RCH + k  # segment-local position
-            v = v_ref[k]
+            j0 = c * RCH + k * KU  # group start (segment-local)
+            v = v_ref[pl.ds(k * KU, KU)]  # [KU, SL, 128]
             # packed: litv(9) | disp(17) | is_copy(1<<26)
             iscp = _mk((v >> 26) & 1)
             d = (v >> 9) & 0x1FFFF
             lv = v & 0x1FF
-            near = iscp * _mk(d <= j)  # in-segment source
-            widx = near * (j - d)
-            # chunked 3D one-hot reduces: a vector reduce runs ~3 ns/row
+            jj = j0 + lax.broadcasted_iota(jnp.int32, (KU, 1, 1), 0)
+            near = iscp * _mk(d <= jj)  # in-segment source
+            ingrp = near * _mk(jj - d >= j0)  # source inside this group
+            winh = near * (1 - ingrp)
+            widx = winh * (jj - d)
+            # chunked one-hot reduces: a vector reduce runs ~3 ns/row
             # vs ~28 ns/row for a ref-load + select loop (the parse
-            # kernel's table scan), but a single [512, SL, 128] axis-0
+            # kernel's table scan), but a single [512, ...] axis-0
             # reduction hangs the Mosaic compile — 128-row chunks do not
-            nearval = jnp.zeros((SL, 128), jnp.int32)
-            iota_c = lax.broadcasted_iota(jnp.int32, (RCH, 1, 1), 0)
+            nearval = jnp.zeros((KU, SL, 128), jnp.int32)
+            iota_c = lax.broadcasted_iota(jnp.int32, (RCH, 1, 1, 1), 0)
             for c4 in range(W // RCH):
                 oh = (widx[None] - c4 * RCH) == iota_c
                 nearval = nearval + jnp.sum(
-                    jnp.where(oh, win_ref[c4 * RCH:(c4 + 1) * RCH], 0),
+                    jnp.where(oh,
+                              win_ref[c4 * RCH:(c4 + 1) * RCH][:, None],
+                              0),
                     axis=0)
-            farptr = FAR_TAG | jnp.maximum(base + j - d, 0)
-            val = lv + iscp * (nearval + (1 - near) * (farptr - nearval) - lv)
-            win_ref[j % W] = val
-            out_ref[k] = val
+            farptr = FAR_TAG | jnp.maximum(base + jj - d, 0)
+            vals = lv + iscp * (
+                nearval + (1 - winh) * (farptr - nearval) - lv)
+            # in-group sources (d reaches into this KU-group): tiny
+            # sequential unroll — position g reads group value g - d.
+            # Arithmetic select instead of .at[].set (Mosaic has no
+            # scatter lowering) and int masks (no bool-vector selects).
+            giota = lax.broadcasted_iota(jnp.int32, (KU, 1, 1), 0)
+            for g in range(1, KU):
+                ohg = _mk((jj[g, 0, 0] - d[g]) == (j0 + giota))
+                bval = jnp.sum(ohg * vals, axis=0)
+                upd = _mk(giota == g) * ingrp[g][None]
+                vals = vals + upd * (bval[None] - vals)
+            win_ref[pl.ds(j0 % W, KU)] = vals
+            out_ref[pl.ds(k * KU, KU)] = vals
             return 0
 
-        lax.fori_loop(0, RCH, step, 0)
+        lax.fori_loop(0, RCH // KU, step, 0)
 
     return kernel
 
