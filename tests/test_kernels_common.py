@@ -492,3 +492,80 @@ def test_hash_best_match_equals_unfused(rng):
         assert (np.asarray(bl) == np.asarray(ebl)).all(), max_disp
         sel = np.asarray(ebl) > 0
         assert (np.asarray(bd)[sel] == np.asarray(ebd)[sel]).all(), max_disp
+
+
+def test_bitonic_sort_rows_matches_lax_sort():
+    """Pallas bitonic row sort (kernels/sort_pallas): ascending by a
+    UNIQUE key, payload planes permuted along — exactly lax.sort."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpucomp.kernels.sort_pallas import bitonic_sort_rows
+
+    rng = np.random.default_rng(11)
+    for N, U in ((3, 256), (9, 1024)):
+        key = np.stack([rng.permutation(U) for _ in range(N)]).astype(
+            np.int32) * 5 - 7  # unique, some negative
+        pay = rng.integers(-2**31, 2**31 - 1, (N, U), dtype=np.int32)
+        ref = lax.sort((jnp.asarray(key), jnp.asarray(pay)),
+                       dimension=1, num_keys=1)
+        got = bitonic_sort_rows((jnp.asarray(key), jnp.asarray(pay)),
+                                interpret=True)
+        for r, g in zip(ref, got):
+            assert (np.asarray(r) == np.asarray(g)).all()
+
+
+def test_gather18_variants():
+    """Pair-packed and stacked-plane 18-bit gathers (the far levels'
+    pointer fetch) against a numpy reference, incl. OOR and same-row
+    collision pairs."""
+    import jax.numpy as jnp
+
+    from tpucomp.kernels.gather_pallas import (
+        gather18_pairs,
+        gather18_stacked,
+    )
+
+    rng = np.random.default_rng(12)
+    N, K, Q = 3, 900, 300
+    data = rng.integers(0, 1 << 18, (N, K), dtype=np.int32)
+    i1 = rng.integers(-4, K + 4, (N, Q), dtype=np.int32)
+    i2 = i1.copy()
+    i2[:, ::2] = rng.integers(-4, K + 4, (N, Q // 2), dtype=np.int32)
+
+    def ref(idx):
+        ok = (idx >= 0) & (idx < K)
+        return np.where(
+            ok, data[np.arange(N)[:, None], np.clip(idx, 0, K - 1)], 0)
+
+    g1, g2 = gather18_pairs(jnp.asarray(data), jnp.asarray(i1),
+                            jnp.asarray(i2), interpret=True)
+    assert (np.asarray(g1) == ref(i1)).all()
+    assert (np.asarray(g2) == ref(i2)).all()
+    gs = gather18_stacked(jnp.asarray(data), jnp.asarray(i1),
+                          interpret=True)
+    assert (np.asarray(gs) == ref(i1)).all()
+
+
+def test_run_matchlens_fused_matches_scan():
+    """Fused Pallas run matcher == the XLA associative-scan form."""
+    import jax.numpy as jnp
+
+    from tpucomp.kernels.runs_pallas import run_matchlens_fused
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 4, (5, 512), dtype=np.int32)
+    x[1] = 7  # constant row: maximal runs
+    fused = run_matchlens_fused(jnp.asarray(x), (1, 2, 3),
+                                interpret=True)
+    # reference: per-position leading-ones of x[q] == x[q-d]
+    for d, got in zip((1, 2, 3), fused):
+        eq = np.zeros_like(x)
+        eq[:, d:] = x[:, d:] == x[:, :-d]
+        exp = np.zeros_like(x)
+        for n in range(x.shape[0]):
+            run = 0
+            for p in range(x.shape[1] - 1, -1, -1):
+                run = run + 1 if eq[n, p] else 0
+                exp[n, p] = run
+        assert (np.asarray(got) == exp).all(), d
