@@ -73,7 +73,8 @@ def _call(NP, R, QP, nplanes, interpret):
     )
 
 
-def _probe_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
+def _probe_kernel(R, QC, RBP, data_ref, idx1_ref, idx2_ref, out1_ref,
+                  out2_ref):
     """Pair-packed single-plane probe gather (see probe_gather_pairs).
 
     Probe entries are 0..256 — every value exactly representable in
@@ -83,11 +84,18 @@ def _probe_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
     (1025: not bf16-exact), so the second query's one-hot is masked
     there and its value is read from the low half instead (both lanes
     then come from the same fetched row, which is exact)."""
-    iota_r = lax.broadcasted_iota(jnp.int32, (R, QCHUNK), 0)
-    iota_s = lax.broadcasted_iota(jnp.int32, (128, QCHUNK), 0)
+    # NOTE (r5, measured): this kernel runs at ~52% of MXU peak and is
+    # tiling-INSENSITIVE (QC 512..2048 x RB 8..16 all within 2% on the
+    # dev chip) — the loss is structural: the one-hot build is ~4M VPU
+    # element-ops per row-iter vs ~0.7us of MXU dot, roughly 1:1 when
+    # not perfectly overlapped.  An int16 one-hot build (half the VPU
+    # width) fails to compile on current Mosaic (Invalid relayout for
+    # broadcast i1 rows: sub-32-bit mixed layouts), so i32 stays.
+    iota_r = lax.broadcasted_iota(jnp.int32, (R, QC), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (128, QC), 0)
     o1 = []
     o2 = []
-    for rr in range(RB):
+    for rr in range(RBP):
         q1 = idx1_ref[rr : rr + 1]  # [1, QCHUNK]
         q2 = idx2_ref[rr : rr + 1]
         r1, r2 = q1 >> 7, q2 >> 7
@@ -110,23 +118,25 @@ def _probe_kernel(R, data_ref, idx1_ref, idx2_ref, out1_ref, out2_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _probe_call(NP, R, QP, interpret):
-    kernel = functools.partial(_probe_kernel, R)
+def _probe_call(NP, R, QP, interpret, QC=None, RBP=None):
+    QC = QC or QCHUNK
+    RBP = RBP or RB
+    kernel = functools.partial(_probe_kernel, R, QC, RBP)
     return pl.pallas_call(
         kernel,
-        grid=(NP // RB, QP // QCHUNK),
+        grid=(NP // RBP, QP // QC),
         in_specs=[
-            pl.BlockSpec((RB, R, 128), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((RBP, R, 128), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+            pl.BlockSpec((RBP, QC), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+            pl.BlockSpec((RBP, QC), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+            pl.BlockSpec((RBP, QC), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, QCHUNK), lambda i, c: (i, c),
+            pl.BlockSpec((RBP, QC), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -137,18 +147,21 @@ def _probe_call(NP, R, QP, interpret):
     )
 
 
-def probe_gather_pairs(probe, idx1, idx2, interpret=False):
+def probe_gather_pairs(probe, idx1, idx2, interpret=False, qc=None,
+                       rb=None):
     """out_k[n, q] = probe[n, idx_k[n, q]] for k in {1, 2}, at HALF the
     one-hot matmul cost of two separate single-plane gathers.
 
     ``probe`` entries MUST be in [0, 256] (one bf16-exact plane; 256 is
     the caller's "still live" sentinel).  Out-of-range idx fetches 0.
     """
+    qc = qc or QCHUNK
+    rb = rb or RB
     N, K = probe.shape
     Q = idx1.shape[1]
     R = -(-K // 128)
-    QP = -(-Q // QCHUNK) * QCHUNK
-    NP = -(-N // RB) * RB
+    QP = -(-Q // qc) * qc
+    NP = -(-N // rb) * rb
     d3 = jnp.pad(probe, ((0, NP - N), (0, R * 128 - K))).reshape(NP, R, 128)
     oor = K if R * 128 > K else -1  # padded zero column, else flag-select
     outs = []
@@ -157,7 +170,8 @@ def probe_gather_pairs(probe, idx1, idx2, interpret=False):
         ip = jnp.pad(idx, ((0, NP - N), (0, QP - Q)))
         ok = (ip >= 0) & (ip < K)
         ins.append((jnp.where(ok, ip, oor if oor >= 0 else 0), ok))
-    o1, o2 = _probe_call(NP, R, QP, interpret)(d3, ins[0][0], ins[1][0])
+    o1, o2 = _probe_call(NP, R, QP, interpret, qc, rb)(
+        d3, ins[0][0], ins[1][0])
     for o, (_, ok) in zip((o1, o2), ins):
         outs.append(o[:N, :Q] if oor >= 0 else
                     jnp.where(ok, o, 0)[:N, :Q])
