@@ -569,3 +569,31 @@ def test_run_matchlens_fused_matches_scan():
                 run = run + 1 if eq[n, p] else 0
                 exp[n, p] = run
         assert (np.asarray(got) == exp).all(), d
+
+
+def test_probe_gather_pairs_tilings():
+    """probe_gather_pairs under non-default (qc, rb) tilings matches the
+    numpy reference — guards the r5 tiling parameterization (same-row
+    collision pairs, OOR indices, the 256 live-sentinel value)."""
+    import jax.numpy as jnp
+
+    from tpucomp.kernels.gather_pallas import probe_gather_pairs
+
+    rng = np.random.default_rng(13)
+    N, K, Q = 5, 700, 260
+    probe = rng.integers(0, 257, (N, K), dtype=np.int32)  # incl. 256
+    i1 = rng.integers(-4, K + 4, (N, Q), dtype=np.int32)
+    i2 = i1.copy()  # same-row collisions on half the columns
+    i2[:, ::2] = rng.integers(-4, K + 4, (N, Q // 2), dtype=np.int32)
+
+    def ref(idx):
+        ok = (idx >= 0) & (idx < K)
+        return np.where(
+            ok, probe[np.arange(N)[:, None], np.clip(idx, 0, K - 1)], 0)
+
+    for qc, rb in ((None, None), (512, 4), (2048, 16)):
+        o1, o2 = probe_gather_pairs(jnp.asarray(probe), jnp.asarray(i1),
+                                    jnp.asarray(i2), interpret=True,
+                                    qc=qc, rb=rb)
+        assert (np.asarray(o1) == ref(i1)).all(), (qc, rb)
+        assert (np.asarray(o2) == ref(i2)).all(), (qc, rb)
